@@ -1,0 +1,200 @@
+"""Pinhole projective geometry with analytic Jacobians (pure JAX).
+
+TPU-native equivalent of the reference's
+``networks/geom/projective_ops.py`` and the linearization half of
+``src/droid_kernels.cu:192-536`` (projective_transform_kernel).
+
+All functions operate on a *keyframe buffer*:
+  poses      : (N, 7)   cam_T_world, [t, q_xyzw] (see geometry.se3)
+  disps      : (N, H, W) inverse depths at feature resolution
+  intrinsics : (N, 4)   [fx, fy, cx, cy] at feature resolution
+  ii, jj     : (E,)     int32 edge lists (source -> target keyframe)
+
+Jacobians are in the DROID convention: tangent = [v(3), w(3)], left
+retraction ``exp(xi) * cam_T_world``.  (The reference additionally
+reorders/sign-flips for GTSAM at visual_frontend.py:383-403; our solver is
+DROID-native so we keep the clean convention and convert only at the
+covariance-output boundary.)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import se3
+
+MIN_DEPTH = 0.2  # same clamp as reference projective_ops.py:8
+
+
+def coords_grid(ht: int, wd: int, dtype=jnp.float32) -> jax.Array:
+    """(H, W, 2) grid of pixel coordinates [x, y]."""
+    y, x = jnp.meshgrid(jnp.arange(ht, dtype=dtype),
+                        jnp.arange(wd, dtype=dtype), indexing="ij")
+    return jnp.stack([x, y], axis=-1)
+
+
+def iproj(disps: jax.Array, intrinsics: jax.Array) -> jax.Array:
+    """Inverse-project to homogeneous points [X, Y, 1, d].
+
+    disps: (..., H, W); intrinsics: (..., 4) broadcastable over leading dims.
+    Returns (..., H, W, 4).
+    """
+    ht, wd = disps.shape[-2:]
+    fx, fy, cx, cy = jnp.moveaxis(intrinsics[..., None, None, :], -1, 0)
+    grid = coords_grid(ht, wd, dtype=disps.dtype)
+    x = grid[..., 0]
+    y = grid[..., 1]
+    X = (x - cx) / fx
+    Y = (y - cy) / fy
+    ones = jnp.ones_like(disps)
+    return jnp.stack([X, Y, ones, disps], axis=-1)
+
+
+def proj(Xs: jax.Array, intrinsics: jax.Array, jacobian: bool = False,
+         return_depth: bool = False):
+    """Pinhole projection of homogeneous points (..., H, W, 4) -> pixels.
+
+    Returns coords (..., H, W, 2 or 3) and (optionally) the 2x4 projection
+    Jacobian d(u,v)/d(X,Y,Z,D).
+    """
+    fx, fy, cx, cy = jnp.moveaxis(intrinsics[..., None, None, :], -1, 0)
+    X, Y, Z, D = jnp.moveaxis(Xs, -1, 0)
+
+    Z = jnp.where(Z < 0.5 * MIN_DEPTH, jnp.ones_like(Z), Z)
+    d = 1.0 / Z
+
+    x = fx * (X * d) + cx
+    y = fy * (Y * d) + cy
+    if return_depth:
+        coords = jnp.stack([x, y, D * d], axis=-1)
+    else:
+        coords = jnp.stack([x, y], axis=-1)
+
+    if not jacobian:
+        return coords, None
+
+    o = jnp.zeros_like(d)
+    Jp = jnp.stack(
+        [fx * d, o, -fx * X * d * d, o,
+         o, fy * d, -fy * Y * d * d, o], axis=-1)
+    Jp = Jp.reshape(Jp.shape[:-1] + (2, 4))
+    return coords, Jp
+
+
+def actp(Gij: jax.Array, X0: jax.Array, jacobian: bool = False):
+    """SE(3) action on homogeneous point clouds with optional Jacobian.
+
+    Gij: (..., 7) poses (broadcast against X0's pixel dims).
+    X0:  (..., H, W, 4).
+    Jacobian Ja is (..., H, W, 4, 6) wrt left-perturbation of Gij, DROID
+    tangent order [v, w] (projective_ops.py:69-96).
+    """
+    X1 = se3.act4(Gij[..., None, None, :], X0)
+    if not jacobian:
+        return X1, None
+    X, Y, Z, d = jnp.moveaxis(X1, -1, 0)
+    o = jnp.zeros_like(d)
+    Ja = jnp.stack(
+        [d, o, o, o, Z, -Y,
+         o, d, o, -Z, o, X,
+         o, o, d, Y, -X, o,
+         o, o, o, o, o, o], axis=-1)
+    Ja = Ja.reshape(Ja.shape[:-1] + (4, 6))
+    return X1, Ja
+
+
+def projective_transform(poses: jax.Array, disps: jax.Array,
+                         intrinsics: jax.Array, ii: jax.Array,
+                         jj: jax.Array, jacobian: bool = False,
+                         return_depth: bool = False):
+    """Map pixels of keyframes ii into keyframes jj.
+
+    Returns (coords (E,H,W,2[,3]), valid (E,H,W,1), (Ji, Jj, Jz)) where
+    Ji/Jj are (E,H,W,2,6) Jacobians wrt left-perturbations of
+    cam_T_world[ii] / cam_T_world[jj], and Jz is (E,H,W,2,1) wrt the
+    source inverse depth.  Mirrors projective_ops.py:98-145 minus the
+    GTSAM reordering.
+    """
+    X0 = iproj(disps[ii], intrinsics[ii])
+    Gij = se3.relpose(poses[ii], poses[jj])
+    X1, Ja = actp(Gij, X0, jacobian=jacobian)
+    x1, Jp = proj(X1, intrinsics[jj], jacobian=jacobian,
+                  return_depth=return_depth)
+
+    valid = ((X1[..., 2] > MIN_DEPTH) & (X0[..., 2] > MIN_DEPTH))
+    valid = valid.astype(disps.dtype)[..., None]
+
+    if not jacobian:
+        return x1, valid, (None, None, None)
+
+    # Jj = Jp @ Ja : (E,H,W,2,6) wrt perturbation of Gij (== of pose jj)
+    Jj = jnp.einsum("...ik,...kj->...ij", Jp, Ja)
+    # Ji transforms via the (negative) transposed adjoint of Gij
+    Ji = -se3.adjT_apply(Gij[..., None, None, None, :], Jj)
+
+    # Jz: chain rule through the homogeneous transform; only the disp
+    # channel of X0 moves: dX1/dd = [t_ij, 0] under act4, i.e. se3.act4 on
+    # the unit-disp basis vector -> [t, 1].
+    tij = Gij[..., None, None, :3]
+    dX1_dd = jnp.concatenate([tij * jnp.ones_like(X1[..., :3]),
+                              jnp.ones_like(X1[..., 3:4])], axis=-1)
+    Jz = jnp.einsum("...ik,...k->...i", Jp, dX1_dd)[..., None]
+
+    return x1, valid, (Ji, Jj, Jz)
+
+
+def induced_flow(poses, disps, intrinsics, ii, jj):
+    """Optical flow induced by camera motion (projective_ops.py:147-158)."""
+    ht, wd = disps.shape[-2:]
+    coords0 = coords_grid(ht, wd, dtype=disps.dtype)
+    coords1, valid, _ = projective_transform(poses, disps, intrinsics, ii, jj)
+    return coords1[..., :2] - coords0, valid
+
+
+def frame_distance(poses, disps, intrinsics, ii, jj, beta: float = 0.3):
+    """Mean reprojection-flow magnitude between frame pairs.
+
+    TPU-native equivalent of frame_distance_kernel
+    (droid_kernels.cu:630-769): blends full-SE(3) flow with a
+    translation-only flow by ``beta``; returns 1000.0 when fewer than 75%
+    of pixels remain valid.  Output: (E,) distances.
+    """
+    ht, wd = disps.shape[-2:]
+    grid = coords_grid(ht, wd, dtype=disps.dtype)
+
+    X0 = iproj(disps[ii], intrinsics[ii])
+    Gij = se3.relpose(poses[ii], poses[jj])
+    fx, fy, cx, cy = jnp.moveaxis(intrinsics[ii][..., None, None, :], -1, 0)
+
+    def flow_mag(X1):
+        Z = X1[..., 2]
+        u = fx * (X1[..., 0] / Z) + cx - grid[..., 0]
+        v = fy * (X1[..., 1] / Z) + cy - grid[..., 1]
+        d = jnp.sqrt(u * u + v * v)
+        val = (Z > MIN_DEPTH).astype(disps.dtype)
+        return d, val
+
+    # full SE(3) flow
+    X1 = se3.act4(Gij[..., None, None, :], X0)
+    d1, v1 = flow_mag(X1)
+    # translation-only flow
+    X1t = X0.at[..., :3].add(X0[..., 3:4] * Gij[..., None, None, :3])
+    d2, v2 = flow_mag(X1t)
+
+    accum = beta * jnp.sum(d1 * v1, axis=(-2, -1)) + \
+        (1 - beta) * jnp.sum(d2 * v2, axis=(-2, -1))
+    valid = beta * jnp.sum(v1, axis=(-2, -1)) + \
+        (1 - beta) * jnp.sum(v2, axis=(-2, -1))
+    total = float(ht * wd)  # beta + (1-beta) per pixel
+
+    frac = valid / (total + 1e-8)
+    dist = accum / jnp.maximum(valid, 1e-8)
+    return jnp.where(frac < 0.75, 1000.0, dist)
+
+
+def frame_distance_bidirectional(poses, disps, intrinsics, ii, jj,
+                                 beta: float = 0.3):
+    """0.5 * (d(ii->jj) + d(jj->ii)), as visual_frontend.py:788-792."""
+    d1 = frame_distance(poses, disps, intrinsics, ii, jj, beta)
+    d2 = frame_distance(poses, disps, intrinsics, jj, ii, beta)
+    return 0.5 * (d1 + d2)

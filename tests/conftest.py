@@ -1,0 +1,22 @@
+"""Test config: force CPU JAX with 8 virtual devices so sharding tests can
+run without TPU hardware (SURVEY.md section 4 rebuild plan).
+
+The harness environment presets JAX_PLATFORMS=axon (a tunneled TPU) and a
+startup hook imports jax before any conftest runs, so plain env-var
+overrides are too late.  jax.config.update still works as long as no
+backend has been initialized, and XLA_FLAGS is read lazily at backend init.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# x64 available for finite-difference oracle tests (f32 tests pass explicit
+# dtypes)
+jax.config.update("jax_enable_x64", True)
