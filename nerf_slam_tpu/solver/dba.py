@@ -1,0 +1,362 @@
+"""Production dense bundle adjustment with marginal covariances.
+
+TPU-native re-design of the reference's DBA hot path:
+
+  - ``projective_transform_kernel`` + ``reduced_camera_matrix_cuda``
+    (/root/reference/src/droid_kernels.cu:192-536, 1681-1768)
+  - the GTSAM solve + covariance extraction
+    (/root/reference/slam/visual_frontends/visual_frontend.py:1071-1232)
+
+Everything is fused into one jit-compiled Gauss-Newton iteration over
+*static-shape* padded arrays:
+
+  P  pose slots in the optimization window   (fixed/invalid -> masked)
+  K  depth-map slots (unique source frames)  (padded)
+  E  edge slots                              (padded, ``edge_valid`` mask)
+
+The host (see :func:`plan`) precomputes tiny int32 index arrays per graph
+change; the device never sees dynamic shapes, so XLA compiles one program
+per (P, K, E, H, W) signature.  The Schur complement is assembled as a
+dense (P, K, 6, HW) coupling tensor and contracted with einsums -- the
+MXU-friendly formulation (SURVEY.md section 7.4 hard-part #1); this also
+makes the depth covariances nearly free, where the reference needed a
+separate "HUGE MEMORY" Ej build (visual_frontend.py:1204).
+
+Solver conventions: DROID tangent order [v, w], left retraction on
+cam_T_world (geometry/se3.py).  Gauge is fixed by freezing pose slot 0
+whenever the window includes keyframe 0 (the reference instead adds a
+sigma=1e-4 GTSAM prior -- equivalent up to 1e-8).
+
+Note on depth covariance: the reference computes ``sum_c (Q E^T L^-1)^2``
+(visual_frontend.py:1215-1217) which uses L^-T where the marginal
+``C^-1 + C^-1 E^T H^-1 E C^-1`` requires ``||L^-1 E||^2``; we implement
+the latter (exact) via a triangular solve.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..geometry import camera, se3
+
+
+class DBAPlan(NamedTuple):
+    """Static-shape index plan for one factor-graph topology.
+
+    All arrays are device-ready int32/float32; build with :func:`plan`.
+    """
+    ii: jax.Array          # (E,) global source kf per edge (clipped >= 0)
+    jj: jax.Array          # (E,) global target kf per edge
+    pi: jax.Array          # (E,) window pose slot of ii, or -1 (fixed/out)
+    pj: jax.Array          # (E,) window pose slot of jj, or -1
+    kk: jax.Array          # (E,) depth slot of ii, or -1 (invalid edge)
+    edge_valid: jax.Array  # (E,) float 0/1
+    px: jax.Array          # (P,) global kf per pose slot (clipped)
+    p_valid: jax.Array     # (P,) float 0/1
+    p_fixed: jax.Array     # (P,) float 0/1 -- gauge-fixed slots (solve dx=0)
+    kx: jax.Array          # (K,) global kf per depth slot (clipped)
+    k_valid: jax.Array     # (K,) float 0/1
+
+
+def plan(ii: np.ndarray, jj: np.ndarray, kf0: int, kf1: int,
+         E: int, P: int, K: int) -> DBAPlan:
+    """Host-side: build the padded index plan for edges (ii, jj) with the
+    optimization window [kf0, kf1).  Mirrors the CPU graph bookkeeping in
+    accum_cuda / schur_block (droid_kernels.cu:1065-1115, 1349-1438).
+    """
+    ii = np.asarray(ii, dtype=np.int64)
+    jj = np.asarray(jj, dtype=np.int64)
+    n_edges = ii.shape[0]
+    if n_edges > E:
+        raise ValueError(f"{n_edges} edges > edge capacity {E}")
+    if kf1 - kf0 > P:
+        raise ValueError(f"window {kf1 - kf0} > pose capacity {P}")
+
+    # depth slots: unique source frames, in sorted order (matches
+    # torch.unique on cat([arange(kf0,kf1), ii]))
+    kf_ids = np.unique(np.concatenate([np.arange(kf0, kf1), ii]))
+    if kf_ids.shape[0] > K:
+        raise ValueError(f"{kf_ids.shape[0]} depth maps > capacity {K}")
+    kmap = {int(k): i for i, k in enumerate(kf_ids)}
+
+    def pad_i(arr, size, fill):
+        out = np.full((size,), fill, dtype=np.int32)
+        out[:arr.shape[0]] = arr
+        return out
+
+    pi = np.where((ii >= kf0) & (ii < kf1), ii - kf0, -1)
+    pj = np.where((jj >= kf0) & (jj < kf1), jj - kf0, -1)
+    kk = np.array([kmap[int(i)] for i in ii], dtype=np.int32)
+
+    px = np.arange(kf0, kf0 + P, dtype=np.int32)
+    p_valid = (px < kf1).astype(np.float32)
+    px = np.clip(px, 0, None)
+    p_fixed = np.zeros((P,), dtype=np.float32)
+    if kf0 == 0:
+        p_fixed[0] = 1.0  # gauge anchor (reference: strong prior on X(0))
+
+    kx = pad_i(kf_ids.astype(np.int32), K, 0)
+    k_valid = np.zeros((K,), dtype=np.float32)
+    k_valid[:kf_ids.shape[0]] = 1.0
+
+    return DBAPlan(
+        ii=jnp.asarray(pad_i(ii.astype(np.int32), E, 0)),
+        jj=jnp.asarray(pad_i(jj.astype(np.int32), E, 0)),
+        pi=jnp.asarray(pad_i(pi.astype(np.int32), E, -1)),
+        pj=jnp.asarray(pad_i(pj.astype(np.int32), E, -1)),
+        kk=jnp.asarray(pad_i(kk, E, -1)),
+        edge_valid=jnp.asarray(
+            pad_i(np.ones(n_edges, np.int32), E, 0).astype(np.float32)),
+        px=jnp.asarray(px),
+        p_valid=jnp.asarray(p_valid),
+        p_fixed=jnp.asarray(p_fixed),
+        kx=jnp.asarray(kx),
+        k_valid=jnp.asarray(k_valid),
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side solver
+# ---------------------------------------------------------------------------
+
+def _seg_mat(A, idx, nseg):
+    """segment-sum (E, ...) blocks by idx; idx<0 is dropped."""
+    safe = jnp.where(idx < 0, nseg, idx)
+    return jax.ops.segment_sum(A, safe, num_segments=nseg + 1)[:nseg]
+
+
+def linearize(poses, disps, intrinsics, targets, weights, p: DBAPlan):
+    """Per-edge Gauss-Newton blocks; the projective_transform_kernel
+    equivalent.  Returns (Hs quadrants, vs, Eiz, Ejz, Cii, bz)."""
+    Ec = p.ii.shape[0]
+    H, W = disps.shape[-2:]
+    HW = H * W
+
+    coords, valid, (Ji, Jj, Jz) = camera.projective_transform(
+        poses, disps, intrinsics, p.ii, p.jj, jacobian=True)
+
+    r = targets - coords
+    w = 0.001 * valid * weights * p.edge_valid[:, None, None, None]
+
+    Jif = Ji.reshape(Ec, HW * 2, 6)
+    Jjf = Jj.reshape(Ec, HW * 2, 6)
+    rf = r.reshape(Ec, HW * 2)
+    wf = w.reshape(Ec, HW * 2)
+
+    wJi = wf[..., None] * Jif
+    wJj = wf[..., None] * Jjf
+
+    Hii = jnp.einsum("enc,end->ecd", wJi, Jif)
+    Hij = jnp.einsum("enc,end->ecd", wJi, Jjf)
+    Hjj = jnp.einsum("enc,end->ecd", wJj, Jjf)
+    vi = jnp.einsum("enc,en->ec", wJi, rf)
+    vj = jnp.einsum("enc,en->ec", wJj, rf)
+
+    w2 = w.reshape(Ec, HW, 2)
+    r2 = r.reshape(Ec, HW, 2)
+    Jz2 = Jz.reshape(Ec, HW, 2)
+    Eiz = jnp.einsum("ehx,ehx,ehxc->ech", w2, Jz2, Ji.reshape(Ec, HW, 2, 6))
+    Ejz = jnp.einsum("ehx,ehx,ehxc->ech", w2, Jz2, Jj.reshape(Ec, HW, 2, 6))
+    Cii = jnp.einsum("ehx,ehx->eh", w2 * Jz2, Jz2)
+    bz = jnp.einsum("ehx,ehx->eh", w2 * r2, Jz2)
+
+    return (Hii, Hij, Hjj), (vi, vj), (Eiz, Ejz), (Cii, bz)
+
+
+def assemble(blocks, p: DBAPlan, disps, eta, disps_sens, alpha=0.05):
+    """Assemble the window-local dense system.
+
+    Returns Hd (P6, P6), vd (P6,), Ehat (P, K, 6, HW), C (K, HW), w (K, HW).
+    """
+    (Hii, Hij, Hjj), (vi, vj), (Eiz, Ejz), (Cii, bz) = blocks
+    P = p.px.shape[0]
+    K = p.kx.shape[0]
+    HW = Cii.shape[-1]
+
+    # pose-pose blocks: keep only pairs fully inside the window
+    # (SparseBlock.update_lhs drops negative indices)
+    def pair_idx(a, b):
+        ok = (a >= 0) & (b >= 0)
+        return jnp.where(ok, a * P + b, -1)
+
+    Hgrid = (_seg_mat(Hii, pair_idx(p.pi, p.pi), P * P)
+             + _seg_mat(Hij, pair_idx(p.pi, p.pj), P * P)
+             + _seg_mat(jnp.swapaxes(Hij, -1, -2), pair_idx(p.pj, p.pi), P * P)
+             + _seg_mat(Hjj, pair_idx(p.pj, p.pj), P * P))
+    Hgrid = Hgrid.reshape(P, P, 6, 6)
+    v = _seg_mat(vi, p.pi, P) + _seg_mat(vj, p.pj, P)
+
+    # depth data terms per depth slot
+    C = _seg_mat(Cii, p.kk, K)
+    w = _seg_mat(bz, p.kk, K)
+    d_k = disps[p.kx].reshape(K, HW)
+    s_k = disps_sens.reshape(K, HW)
+    m = (s_k > 0).astype(C.dtype)
+    C = C + m * alpha + (1 - m) * eta.reshape(K, HW)
+    w = w - m * alpha * (d_k - s_k)
+    # keep padded depth slots harmless
+    C = jnp.where(p.k_valid[:, None] > 0, C, 1.0)
+    w = w * p.k_valid[:, None]
+
+    # pose-depth coupling tensor
+    def couple_idx(pp):
+        ok = (pp >= 0) & (p.kk >= 0)
+        return jnp.where(ok, pp * K + p.kk, -1)
+
+    Ehat = (_seg_mat(Eiz, couple_idx(p.pi), P * K)
+            + _seg_mat(Ejz, couple_idx(p.pj), P * K))
+    Ehat = Ehat.reshape(P, K, 6, HW)
+
+    Hd = jnp.transpose(Hgrid, (0, 2, 1, 3)).reshape(P * 6, P * 6)
+    vd = v.reshape(P * 6)
+    return Hd, vd, Ehat, C, w
+
+
+def _gauge_mask(Hd, vd, p: DBAPlan):
+    """Freeze invalid + gauge-fixed pose slots: identity rows/cols, rhs 0."""
+    P = p.px.shape[0]
+    free = ((p.p_valid > 0) & (p.p_fixed == 0)).astype(Hd.dtype)
+    fm = jnp.repeat(free, 6)                       # (P6,)
+    Hd = Hd * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
+    vd = vd * fm
+    return Hd, vd, fm
+
+
+def solve_system(Hd, vd, Ehat, C, w, p: DBAPlan, ep=0.1, lm=1e-4):
+    """Schur-eliminate depths, solve the reduced camera system, and
+    back-substitute.  Returns dx (P, 6), dz (K, HW), plus (S, L) of the
+    damped RCM for covariance reuse."""
+    P, K, D, HW = Ehat.shape
+    Q = 1.0 / C                                         # (K,HW)
+
+    Hd, vd, fm = _gauge_mask(Hd, vd, p)
+    # zero coupling rows of frozen poses
+    Ehat = Ehat * fm.reshape(P, D)[:, None, :, None]
+
+    # S = E Q E^T, v_s = E Q w  (EEt6x6 / Ev6x1 kernels, now one einsum)
+    EQ = Ehat * Q[None, :, None, :]
+    S = jnp.einsum("pkdh,qkeh->pdqe", EQ, Ehat).reshape(P * D, P * D)
+    vs = jnp.einsum("pkdh,kh->pd", EQ, w).reshape(P * D)
+
+    RCM = Hd - S
+    rhs = vd - vs
+    # damping as in SparseBlock::solve (droid_kernels.cu:1318-1340)
+    diag = jnp.diagonal(RCM)
+    RCMd = RCM + jnp.diag(ep + lm * diag)
+
+    L = jnp.linalg.cholesky(RCMd)
+    y = solve_triangular(L, rhs, lower=True)
+    dx = solve_triangular(L.T, y, lower=False).reshape(P, D)
+
+    # dz = Q (w - E^T dx)   (EvT6x1 + accum, solve_depth_cuda)
+    Etdx = jnp.einsum("pkdh,pd->kh", Ehat, dx.reshape(P, D))
+    dz = Q * (w - Etdx) * p.k_valid[:, None]
+    return dx, dz, L, Q
+
+
+def covariances(L, Ehat, Q, p: DBAPlan):
+    """Marginal pose and depth covariances from the damped RCM Cholesky.
+
+    Returns pose_cov (P, 6, 6) (left-perturbation of cam_T_world, [v,w]
+    order) and z_cov (K, HW) (inverse-depth variance).  Equivalent of
+    visual_frontend.py:1164-1230 without materializing the (K,K,6,HW)
+    tensor.
+    """
+    P, K, D, HW = Ehat.shape
+    PD = P * D
+    eye = jnp.eye(PD, dtype=L.dtype)
+    Linv = solve_triangular(L, eye, lower=True)          # L^-1
+    Sigma = Linv.T @ Linv                                # (L L^T)^-1
+    pose_cov = jnp.diagonal(
+        Sigma.reshape(P, D, P, D), axis1=0, axis2=2)     # (D, D, P)
+    pose_cov = jnp.transpose(pose_cov, (2, 0, 1))
+    # frozen/invalid slots carry a gauge identity row, not a real marginal;
+    # report them as (near) perfectly known, like the reference's 1e-4-sigma
+    # prior would
+    free = ((p.p_valid > 0) & (p.p_fixed == 0)).astype(L.dtype)
+    eye6 = jnp.eye(D, dtype=L.dtype)
+    pose_cov = jnp.where(free[:, None, None] > 0, pose_cov, 1e-8 * eye6)
+
+    # G = L^-1 E  -> z_cov = Q + Q^2 * sum_c G[c, k, h]^2
+    Emat = jnp.transpose(Ehat, (0, 2, 1, 3)).reshape(PD, K * HW)
+    G = Linv @ Emat                                      # (PD, K*HW)
+    delta = jnp.sum(G * G, axis=0).reshape(K, HW)
+    z_cov = Q + Q * Q * delta
+    return pose_cov, z_cov
+
+
+class DBAResult(NamedTuple):
+    poses: jax.Array       # (N, 7) updated buffer
+    disps: jax.Array       # (N, H, W) updated buffer
+    pose_cov: jax.Array    # (P, 6, 6)
+    z_cov: jax.Array       # (K, H, W) inverse-depth variances
+    flow_rms: jax.Array    # scalar diagnostic
+
+
+def dba_iterations(poses, disps, intrinsics, targets, weights, eta,
+                   disps_sens, p: DBAPlan, iters: int = 2,
+                   ep: float = 0.1, lm: float = 1e-4,
+                   compute_covariances: bool = True,
+                   motion_only: bool = False) -> DBAResult:
+    """Run `iters` relinearized GN steps and (optionally) covariances.
+
+    poses/disps are full keyframe buffers (N,7)/(N,H,W); only window
+    slots are updated.  eta: (K, H, W) damping per depth slot,
+    disps_sens: (K, H, W) sensed inverse depths (0 where absent).
+    Static over (N, E, P, K, H, W, iters) -- jit-cache friendly.
+    """
+    Hh, Ww = disps.shape[-2:]
+    K = p.kx.shape[0]
+
+    def body(_, state):
+        poses, disps = state
+        blocks = linearize(poses, disps, intrinsics, targets, weights, p)
+        Hd, vd, Ehat, C, w = assemble(blocks, p, disps, eta, disps_sens)
+        if motion_only:
+            Hm, vm, fm = _gauge_mask(Hd, vd, p)
+            diag = jnp.diagonal(Hm)
+            Lm = jnp.linalg.cholesky(Hm + jnp.diag(ep + lm * diag))
+            y = solve_triangular(Lm, vm, lower=True)
+            dx = solve_triangular(Lm.T, y, lower=False).reshape(-1, 6)
+            dz = jnp.zeros((K, Hh * Ww), dtype=disps.dtype)
+        else:
+            dx, dz, _, _ = solve_system(Hd, vd, Ehat, C, w, p, ep, lm)
+
+        # retract poses (scatter into buffer at window slots)
+        upd = se3.retr(poses[p.px], dx)
+        mask = (p.p_valid * (1 - p.p_fixed))[:, None]
+        upd = jnp.where(mask > 0, upd, poses[p.px])
+        poses = poses.at[p.px].set(upd)
+
+        # retract depths
+        dnew = disps[p.kx] + dz.reshape(K, Hh, Ww)
+        dnew = jnp.maximum(dnew, 0.001)  # clamp (visual_frontend.py:1162)
+        dnew = jnp.where(p.k_valid[:, None, None] > 0, dnew, disps[p.kx])
+        disps = disps.at[p.kx].set(dnew)
+        return poses, disps
+
+    poses, disps = jax.lax.fori_loop(0, iters, body, (poses, disps))
+
+    # final linearization for covariances + diagnostics
+    blocks = linearize(poses, disps, intrinsics, targets, weights, p)
+    Hd, vd, Ehat, C, w = assemble(blocks, p, disps, eta, disps_sens)
+    coords, valid, _ = camera.projective_transform(
+        poses, disps, intrinsics, p.ii, p.jj)
+    r = (targets - coords) * valid * p.edge_valid[:, None, None, None]
+    flow_rms = jnp.sqrt(jnp.sum(r * r) /
+                        jnp.maximum(jnp.sum(valid) * 2.0, 1.0))
+
+    if compute_covariances:
+        _, _, L, Q = solve_system(Hd, vd, Ehat, C, w, p, ep, lm)
+        pose_cov, z_cov = covariances(L, Ehat, Q, p)
+    else:
+        P = p.px.shape[0]
+        pose_cov = jnp.zeros((P, 6, 6), dtype=poses.dtype)
+        z_cov = jnp.ones((K, Hh * Ww), dtype=disps.dtype)
+
+    return DBAResult(poses=poses, disps=disps, pose_cov=pose_cov,
+                     z_cov=z_cov.reshape(K, Hh, Ww), flow_rms=flow_rms)
