@@ -1,0 +1,147 @@
+"""Procedural synthetic RGB-D dataset (a textured box room).
+
+Stands in for Replica-style data in environments without datasets: exact
+GT poses and depths, analytic rendering, enough texture for
+correlation-based tracking.  Emits the reference packet contract
+(/root/reference/datasets/nerf_dataset.py:155-162):
+``{k, t_cams, poses, images, depths, calibs, is_last_frame}`` with poses
+as world_T_cam (camera-to-world) 4x4 matrices, OpenCV camera convention
+(+z forward, +x right, +y down).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+@dataclass
+class SyntheticConfig:
+    n_frames: int = 60
+    height: int = 120
+    width: int = 160
+    fov_deg: float = 70.0
+    room_half: float = 2.0        # half-extent of the cubic room [m]
+    room_height: float = 2.5
+    orbit_radius: float = 0.8
+    seed: int = 0
+
+
+def _texture(p: np.ndarray, normal_axis: int) -> np.ndarray:
+    """Smooth but feature-rich RGB texture as a function of 3D position."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    r = 0.5 + 0.25 * np.sin(3.1 * x + 1.7) * np.cos(2.3 * y)
+    g = 0.5 + 0.25 * np.sin(2.7 * y + 0.5) * np.cos(3.7 * z)
+    b = 0.5 + 0.25 * np.sin(4.1 * z + 2.9) * np.cos(1.9 * x)
+    # checker layer for high-frequency gradients
+    c = (np.floor(2.5 * x) + np.floor(2.5 * y) + np.floor(2.5 * z)) % 2
+    shade = 0.85 + 0.15 * (normal_axis / 2.0)
+    rgb = np.stack([r + 0.15 * c, g + 0.12 * c, b + 0.1 * c], axis=-1)
+    return np.clip(rgb * shade[..., None], 0.0, 1.0)
+
+
+def _render(c2w: np.ndarray, K: np.ndarray, h: int, w: int,
+            half: float, room_h: float):
+    """Ray-cast the interior of an axis-aligned box; returns (rgb, depth).
+
+    Box: x,y in [-half, half], z in [0, room_h] (world frame).
+    Camera: OpenCV convention, rays r = R @ K^-1 [u,v,1].
+    """
+    u, v = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    fx, fy, cx, cy = K
+    dirs_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)],
+                        axis=-1)
+    R = c2w[:3, :3]
+    t = c2w[:3, 3]
+    dirs = dirs_cam @ R.T
+    # intersection with the 6 planes
+    lo = np.array([-half, -half, 0.0])
+    hi = np.array([half, half, room_h])
+    tmax = np.full((h, w), np.inf)
+    hit_axis = np.zeros((h, w), dtype=np.int64)
+    for ax in range(3):
+        for bound in (lo[ax], hi[ax]):
+            d = dirs[..., ax]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (bound - t[ax]) / d
+            s = np.where(np.abs(d) < 1e-9, np.inf, s)
+            p = t[None, None, :] + s[..., None] * dirs
+            ok = (s > 1e-6)
+            for other in range(3):
+                if other != ax:
+                    ok &= (p[..., other] >= lo[other] - 1e-6) & \
+                          (p[..., other] <= hi[other] + 1e-6)
+            better = ok & (s < tmax)
+            tmax = np.where(better, s, tmax)
+            hit_axis = np.where(better, ax, hit_axis)
+
+    pts = t[None, None, :] + tmax[..., None] * dirs
+    rgb = _texture(pts, hit_axis)
+    # rays are parameterized with unit z-component in the camera frame, so
+    # the parameter s IS the camera z-depth
+    return (rgb * 255).astype(np.uint8), tmax.astype(np.float32)
+
+
+def look_at(eye: np.ndarray, target: np.ndarray,
+            up=np.array([0.0, 0.0, 1.0])) -> np.ndarray:
+    """OpenCV c2w: z toward target, y down-ish."""
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    x = np.cross(z, up)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    c2w = np.eye(4)
+    c2w[:3, 0] = x
+    c2w[:3, 1] = y
+    c2w[:3, 2] = z
+    c2w[:3, 3] = eye
+    return c2w
+
+
+class SyntheticDataset:
+    """Index- and stream-style access, mirroring datasets/dataset.py."""
+
+    def __init__(self, cfg: Optional[SyntheticConfig] = None):
+        self.cfg = cfg or SyntheticConfig()
+        c = self.cfg
+        f = 0.5 * c.width / np.tan(np.radians(c.fov_deg) / 2)
+        self.K = np.array([f, f, c.width / 2, c.height / 2],
+                          dtype=np.float32)
+        self.poses = self._trajectory()
+
+    def _trajectory(self):
+        c = self.cfg
+        poses = []
+        for i in range(c.n_frames):
+            a = 2 * np.pi * i / c.n_frames
+            eye = np.array([c.orbit_radius * np.cos(a),
+                            c.orbit_radius * np.sin(a),
+                            0.5 * c.room_height
+                            + 0.2 * np.sin(2 * a)])
+            target = np.array([2.0 * np.cos(a + 0.7),
+                               2.0 * np.sin(a + 0.7),
+                               0.5 * c.room_height])
+            poses.append(look_at(eye, target))
+        return np.stack(poses)
+
+    def __len__(self):
+        return self.cfg.n_frames
+
+    def __getitem__(self, k: int) -> Dict:
+        c = self.cfg
+        rgb, depth = _render(self.poses[k], self.K, c.height, c.width,
+                             c.room_half, c.room_height)
+        return {
+            "k": k,
+            "t_cams": float(k) / 30.0,
+            "poses": self.poses[k].astype(np.float32),
+            "images": rgb,
+            "depths": depth,
+            "intrinsics": self.K.copy(),
+            "is_last_frame": k == c.n_frames - 1,
+        }
+
+    def __iter__(self) -> Iterator[Dict]:
+        for k in range(len(self)):
+            yield self[k]

@@ -1,0 +1,193 @@
+"""All-pairs correlation volumes and windowed bilinear lookup (JAX).
+
+TPU-native equivalent of the reference CorrBlock / corr_index_forward
+(/root/reference/networks/modules/corr.py:23-72,
+ /root/reference/src/correlation_kernels.cu:19-70).
+
+Layout notes (must match the reference exactly because the pretrained
+corr-encoder conv expects this channel ordering):
+  - the volume for an edge is (H1, W1, H2, W2) = <fmap1[y,x], fmap2[v,u]>/16
+  - lookup output channels enumerate the (2r+1)x(2r+1) window with the
+    *x-offset major*: channel c = a*(2r+1)+b samples (x0 - r + a, y0 - r + b)
+    (see corr_index_forward_kernel: out[n][i][j] with i from the x loop)
+  - 4 pyramid levels, lookup at coords/2^l, channels concatenated
+    level-major -> 4*49 = 196 channels.
+
+The volume build is a pure matmul (MXU); the lookup is a gather over a
+(2r+2)^2 support grid with bilinear recombination, which XLA vectorizes
+well.  Out-of-bounds taps contribute zero, as in the CUDA kernel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def build_volume(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
+    """All-pairs correlation.
+
+    fmap1, fmap2: (E, C, H, W) feature maps (bf16 ok).
+    Returns (E, H, W, H, W) fp32 volume, scaled by 1/16 (corr.py:63-72).
+    """
+    E, C, H, W = fmap1.shape
+    f1 = fmap1.reshape(E, C, H * W).astype(jnp.float32) / 4.0
+    f2 = fmap2.reshape(E, C, H * W).astype(jnp.float32) / 4.0
+    vol = jnp.einsum("ecn,ecm->enm", f1, f2)
+    return vol.reshape(E, H, W, H, W)
+
+
+def _avg_pool2(x: jax.Array) -> jax.Array:
+    """2x2 average pool with floor semantics on the last two dims."""
+    *lead, H, W = x.shape
+    H2, W2 = H // 2, W // 2
+    x = x[..., : H2 * 2, : W2 * 2]
+    x = x.reshape(*lead, H2, 2, W2, 2)
+    return x.mean(axis=(-3, -1))
+
+
+def build_pyramid(volume: jax.Array, num_levels: int = 4):
+    """(E, H1, W1, H2, W2) -> list of levels with target dims halved."""
+    pyramid = [volume]
+    for _ in range(num_levels - 1):
+        pyramid.append(_avg_pool2(pyramid[-1]))
+    return pyramid
+
+
+def lookup_level(volume: jax.Array, coords: jax.Array,
+                 radius: int = 3) -> jax.Array:
+    """Sample a (2r+1)^2 window from one pyramid level.
+
+    volume: (E, H1, W1, H2, W2); coords: (E, H1, W1, 2) as [x, y] in level
+    pixel units.  Returns (E, (2r+1)^2, H1, W1), channels x-offset major.
+    """
+    E, H1, W1, H2, W2 = volume.shape
+    r = radius
+    rd = 2 * r + 1
+
+    x0 = coords[..., 0]
+    y0 = coords[..., 1]
+    fx = jnp.floor(x0)
+    fy = jnp.floor(y0)
+    dx = (x0 - fx)[..., None]            # (E,H1,W1,1)
+    dy = (y0 - fy)[..., None]
+
+    # support grid: (2r+2) x (2r+2) integer taps from floor - r
+    n_sup = rd + 1
+    offs = jnp.arange(n_sup, dtype=jnp.int32)
+    xi = fx.astype(jnp.int32)[..., None] - r + offs[None, None, None, :]
+    yi = fy.astype(jnp.int32)[..., None] - r + offs[None, None, None, :]
+
+    in_x = (xi >= 0) & (xi < W2)
+    in_y = (yi >= 0) & (yi < H2)
+    xi_c = jnp.clip(xi, 0, W2 - 1)
+    yi_c = jnp.clip(yi, 0, H2 - 1)
+
+    # flat gather over (H2*W2): indices (E,H1,W1, n_sup*n_sup) x-major? we
+    # build (y, x) pairs with y varying over one axis and x the other
+    vol_flat = volume.reshape(E, H1, W1, H2 * W2)
+    idx = (yi_c[..., :, None] * W2 + xi_c[..., None, :])   # (E,H1,W1,ny,nx)
+    idx = idx.reshape(E, H1, W1, n_sup * n_sup)
+    S = jnp.take_along_axis(vol_flat, idx, axis=-1)
+    S = S.reshape(E, H1, W1, n_sup, n_sup)                  # [y_tap, x_tap]
+    mask = (in_y[..., :, None] & in_x[..., None, :]).astype(S.dtype)
+    S = S * mask
+
+    # bilinear recombination: out[b, a] over window offsets (a=x, b=y)
+    w00 = (1 - dx) * (1 - dy)   # (E,H1,W1,1)
+    w10 = dx * (1 - dy)
+    w01 = (1 - dx) * dy
+    w11 = dx * dy
+    out = (w00[..., None] * S[..., :rd, :rd]
+           + w10[..., None] * S[..., :rd, 1:]
+           + w01[..., None] * S[..., 1:, :rd]
+           + w11[..., None] * S[..., 1:, 1:])               # (E,H1,W1,b,a)
+
+    # channel = a*rd + b (x-offset major, matching the CUDA layout)
+    out = jnp.transpose(out, (0, 4, 3, 1, 2))               # (E,a,b,H1,W1)
+    return out.reshape(E, rd * rd, H1, W1)
+
+
+class CorrPyramid:
+    """Precomputed 4-level correlation pyramid for a set of edges.
+
+    Functional analogue of the reference CorrBlock: supports lookup,
+    concatenation (edge add) and masking/indexing (edge remove) by
+    operating on stacked arrays.
+    """
+
+    def __init__(self, levels, radius: int = 3):
+        self.levels = list(levels)
+        self.radius = radius
+
+    @staticmethod
+    def build(fmap1: jax.Array, fmap2: jax.Array, num_levels: int = 4,
+              radius: int = 3) -> "CorrPyramid":
+        vol = build_volume(fmap1, fmap2)
+        return CorrPyramid(build_pyramid(vol, num_levels), radius)
+
+    def __call__(self, coords: jax.Array) -> jax.Array:
+        """coords: (E, H1, W1, 2) [x, y] at level-0 resolution.
+        Returns (E, L*(2r+1)^2, H1, W1)."""
+        outs = []
+        for lvl, vol in enumerate(self.levels):
+            outs.append(lookup_level(vol, coords / (2 ** lvl), self.radius))
+        return jnp.concatenate(outs, axis=1)
+
+    def cat(self, other: "CorrPyramid") -> "CorrPyramid":
+        return CorrPyramid(
+            [jnp.concatenate([a, b], axis=0)
+             for a, b in zip(self.levels, other.levels)], self.radius)
+
+    def __getitem__(self, index) -> "CorrPyramid":
+        return CorrPyramid([lvl[index] for lvl in self.levels], self.radius)
+
+
+def alt_corr_level(fmap1: jax.Array, fmap2: jax.Array, coords: jax.Array,
+                   radius: int = 3, chunk: int = 8) -> jax.Array:
+    """On-the-fly windowed correlation (no volume materialization).
+
+    Equivalent of altcorr_forward (src/altcorr_kernel.cu:27-355): for each
+    pixel of fmap1, dot its feature with bilinear taps of fmap2 around
+    ``coords``.  fmap1: (E, C, H1, W1) level-0 features; fmap2:
+    (E, C, H2, W2) features at this pyramid level; coords in level units.
+    Returns (E, (2r+1)^2, H1, W1).  Chunked over edges to bound memory.
+    """
+    E, C, H1, W1 = fmap1.shape
+    H2, W2 = fmap2.shape[-2:]
+    r = radius
+    rd = 2 * r + 1
+    n_sup = rd + 1
+
+    def one(args):
+        f1, f2, co = args  # (C,H1,W1), (C,H2,W2), (H1,W1,2)
+        x0, y0 = co[..., 0], co[..., 1]
+        fx, fy = jnp.floor(x0), jnp.floor(y0)
+        dx = (x0 - fx)[..., None]
+        dy = (y0 - fy)[..., None]
+        offs = jnp.arange(n_sup, dtype=jnp.int32)
+        xi = fx.astype(jnp.int32)[..., None] - r + offs
+        yi = fy.astype(jnp.int32)[..., None] - r + offs
+        in_x = (xi >= 0) & (xi < W2)
+        in_y = (yi >= 0) & (yi < H2)
+        xi_c = jnp.clip(xi, 0, W2 - 1)
+        yi_c = jnp.clip(yi, 0, H2 - 1)
+        idx = (yi_c[..., :, None] * W2 + xi_c[..., None, :]
+               ).reshape(H1, W1, n_sup * n_sup)
+        f2f = f2.reshape(C, H2 * W2).astype(jnp.float32) / 4.0
+        # gather taps: (H1, W1, n_sup^2, C)
+        taps = f2f.T[idx]
+        # dot with f1: (H1, W1, n_sup^2)
+        S = jnp.einsum("hwsc,chw->hws",
+                       taps, f1.astype(jnp.float32) / 4.0)
+        S = S.reshape(H1, W1, n_sup, n_sup)
+        mask = (in_y[..., :, None] & in_x[..., None, :]).astype(S.dtype)
+        S = S * mask
+        out = ((1 - dx)[..., None] * (1 - dy)[..., None] * S[..., :rd, :rd]
+               + dx[..., None] * (1 - dy)[..., None] * S[..., :rd, 1:]
+               + (1 - dx)[..., None] * dy[..., None] * S[..., 1:, :rd]
+               + dx[..., None] * dy[..., None] * S[..., 1:, 1:])
+        # S layout is [y_tap, x_tap]; channel = a*rd + b (x-major)
+        out = jnp.transpose(out, (3, 2, 0, 1))
+        return out.reshape(rd * rd, H1, W1)
+
+    return jax.lax.map(one, (fmap1, fmap2, coords), batch_size=chunk)

@@ -1,0 +1,113 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_slam_tpu.ops import corr
+
+
+def np_lookup_oracle(volume, coords, radius):
+    """Straightforward numpy oracle: channel (a,b) = bilinear sample of
+    volume[y, x] at (x0 - r + a, y0 - r + b), zero outside."""
+    E, H1, W1, H2, W2 = volume.shape
+    rd = 2 * radius + 1
+    out = np.zeros((E, rd * rd, H1, W1), dtype=np.float64)
+    for e in range(E):
+        for y in range(H1):
+            for x in range(W1):
+                x0, y0 = coords[e, y, x]
+                for a in range(rd):
+                    for b in range(rd):
+                        sx = x0 - radius + a
+                        sy = y0 - radius + b
+                        fx, fy = np.floor(sx), np.floor(sy)
+                        dx, dy = sx - fx, sy - fy
+                        val = 0.0
+                        for (iy, wy) in ((int(fy), 1 - dy),
+                                         (int(fy) + 1, dy)):
+                            for (ix, wx) in ((int(fx), 1 - dx),
+                                             (int(fx) + 1, dx)):
+                                if 0 <= iy < H2 and 0 <= ix < W2:
+                                    val += wy * wx * volume[e, y, x, iy, ix]
+                        out[e, a * rd + b, y, x] = val
+    return out
+
+
+def test_lookup_matches_oracle():
+    rng = np.random.RandomState(0)
+    E, H1, W1, H2, W2 = 2, 4, 5, 6, 7
+    vol = rng.randn(E, H1, W1, H2, W2).astype(np.float32)
+    coords = (rng.rand(E, H1, W1, 2) *
+              np.array([W2 - 1, H2 - 1])).astype(np.float32)
+    r = 2
+    out = corr.lookup_level(jnp.asarray(vol), jnp.asarray(coords), radius=r)
+    oracle = np_lookup_oracle(vol, coords, r)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-4)
+
+
+def test_lookup_integer_coords_is_direct_index():
+    rng = np.random.RandomState(1)
+    E, H, W = 1, 5, 5
+    vol = rng.randn(E, H, W, H, W).astype(np.float32)
+    # coords = own pixel position
+    y, x = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    coords = np.stack([x, y], -1).astype(np.float32)[None]
+    r = 1
+    out = np.asarray(corr.lookup_level(jnp.asarray(vol),
+                                       jnp.asarray(coords), radius=r))
+    rd = 2 * r + 1
+    for yy in range(1, H - 1):
+        for xx in range(1, W - 1):
+            for a in range(rd):
+                for b in range(rd):
+                    want = vol[0, yy, xx, yy - r + b, xx - r + a]
+                    got = out[0, a * rd + b, yy, xx]
+                    assert abs(want - got) < 1e-5
+
+
+def test_volume_is_feature_dot():
+    rng = np.random.RandomState(2)
+    E, C, H, W = 2, 16, 4, 4
+    f1 = rng.randn(E, C, H, W).astype(np.float32)
+    f2 = rng.randn(E, C, H, W).astype(np.float32)
+    vol = np.asarray(corr.build_volume(jnp.asarray(f1), jnp.asarray(f2)))
+    want = np.einsum("echw,ecuv->ehwuv", f1, f2) / 16.0
+    np.testing.assert_allclose(vol, want, atol=1e-4)
+
+
+def test_pyramid_levels_shrink():
+    vol = jnp.ones((1, 8, 8, 10, 12))
+    pyr = corr.build_pyramid(vol, 4)
+    assert pyr[0].shape == (1, 8, 8, 10, 12)
+    assert pyr[1].shape == (1, 8, 8, 5, 6)
+    assert pyr[2].shape == (1, 8, 8, 2, 3)
+    assert pyr[3].shape == (1, 8, 8, 1, 1)
+
+
+def test_alt_corr_matches_volume_lookup():
+    rng = np.random.RandomState(3)
+    E, C, H, W = 2, 8, 5, 6
+    f1 = rng.randn(E, C, H, W).astype(np.float32)
+    f2 = rng.randn(E, C, H, W).astype(np.float32)
+    coords = (rng.rand(E, H, W, 2) *
+              np.array([W - 1, H - 1])).astype(np.float32)
+    vol = corr.build_volume(jnp.asarray(f1), jnp.asarray(f2))
+    want = corr.lookup_level(vol, jnp.asarray(coords), radius=3)
+    got = corr.alt_corr_level(jnp.asarray(f1), jnp.asarray(f2),
+                              jnp.asarray(coords), radius=3, chunk=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_corr_pyramid_api():
+    rng = np.random.RandomState(4)
+    f1 = jnp.asarray(rng.randn(3, 8, 6, 8).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(3, 8, 6, 8).astype(np.float32))
+    cp = corr.CorrPyramid.build(f1, f2)
+    coords = jnp.asarray((rng.rand(3, 6, 8, 2) *
+                          np.array([7.0, 5.0])).astype(np.float32))
+    out = cp(coords)
+    assert out.shape == (3, 4 * 49, 6, 8)
+    # cat + index
+    cp2 = cp.cat(cp)
+    assert cp2.levels[0].shape[0] == 6
+    cp3 = cp2[jnp.array([0, 2, 4])]
+    assert cp3.levels[0].shape[0] == 3

@@ -1,0 +1,75 @@
+"""Frontend state-machine mechanics on tiny synthetic data (CPU).
+
+With randomly initialized network weights the tracking *quality* is
+meaningless; these tests validate the machinery: keyframe lifecycle,
+graph bookkeeping, jit-stability of the fused update, finite outputs,
+and the viz packet contract.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_slam_tpu.datasets import SyntheticDataset, SyntheticConfig
+from nerf_slam_tpu.models import DroidNet
+from nerf_slam_tpu.tracking import RaftVisualFrontend, FrontendConfig
+
+
+@pytest.fixture(scope="module")
+def small_frontend():
+    H, W = 48, 64
+    h, w = H // 8, W // 8
+    net = DroidNet(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = net.init(
+        rng, jnp.zeros((1, H, W, 3)), jnp.zeros((1, h, w, 128)),
+        jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 196)),
+        jnp.zeros((1, h, w, 4)), jnp.array([0]), 1)
+    cfg = FrontendConfig(
+        buffer=12, e_active=24, e_inactive=16, p_window=12, k_depth=14,
+        keyframe_warmup=4, max_factors=20, motion_filter_thresh=-1.0,
+        keyframe_thresh=-1.0, iters1=1, iters2=1, gn_iters=1)
+    fe = RaftVisualFrontend(params, cfg, (H, W))
+    return fe
+
+
+def test_frontend_runs_sequence(small_frontend):
+    fe = small_frontend
+    ds = SyntheticDataset(SyntheticConfig(n_frames=10, height=48, width=64))
+    packets = []
+    for k, pkt in enumerate(ds):
+        out = fe(k, pkt)
+        if out is not None:
+            packets.append(out)
+
+    assert fe.kf_idx >= 5              # enough keyframes accepted
+    assert fe.is_initialized
+    assert fe.stop                     # last frame triggers terminate
+    assert len(packets) >= 2
+
+    final = packets[-1]
+    assert "cam0_poses" in final
+    poses = np.asarray(final["cam0_poses"])
+    assert np.isfinite(poses).all()
+    idepths = np.asarray(final["cam0_idepths"])
+    assert np.isfinite(idepths).all() and (idepths >= 0).all()
+    cov = np.asarray(final["cam0_depths_cov"])
+    assert np.isfinite(cov).all()
+    up = np.asarray(final["cam0_idepths_up"])
+    assert up.shape[-2:] == (48, 64)
+    pose_cov = np.asarray(final["world_T_body_cov"])
+    assert np.isfinite(pose_cov).all()
+    # covariance diagonals are non-negative
+    diags = np.diagonal(pose_cov, axis1=-2, axis2=-1)
+    assert (diags >= -1e-6).all()
+
+
+def test_graph_state_is_consistent(small_frontend):
+    fe = small_frontend
+    g = fe.graph
+    assert g.n_edges <= fe.cfg.e_active
+    assert g.n_inactive <= fe.cfg.e_inactive
+    # no self edges in mono mode
+    assert (g.ii != g.jj).all()
+    # ages aligned
+    assert g.age.shape == g.ii.shape
