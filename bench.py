@@ -1,0 +1,91 @@
+"""End-to-end benchmark: tracking + mapping keyframes/sec on one chip.
+
+Runs the full pipeline (synthetic Replica-like sequence at ~340x640,
+DROID-style frontend + NGP mapping) and reports keyframes/sec.  The
+baseline is the reference paper's ~15 Hz keyframe throughput on two
+RTX-class GPUs (BASELINE.md north star: >= 15 kf/s on one chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+BASELINE_KF_PER_S = 15.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_slam_tpu.datasets import SyntheticDataset, SyntheticConfig
+    from nerf_slam_tpu.models import DroidNet
+    from nerf_slam_tpu.tracking import RaftVisualFrontend, FrontendConfig
+    from nerf_slam_tpu.fusion import NerfFusion, NerfFusionConfig
+    from nerf_slam_tpu.pipeline.modules import (DataModule, EvalSink,
+                                                FusionModule, SlamModule)
+    from nerf_slam_tpu.pipeline.runner import (connect, run_parallel)
+
+    H, W = 336, 640          # nerf-dataset operating resolution (<=341x640)
+    n_frames = 30
+    buffer = 24
+
+    ds = SyntheticDataset(SyntheticConfig(n_frames=n_frames, height=H,
+                                          width=W))
+
+    h, w = H // 8, W // 8
+    net = DroidNet(dtype=jnp.bfloat16)
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
+        jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
+        jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
+        jnp.array([0]), 1)
+    cfg = FrontendConfig(buffer=buffer, e_active=48, e_inactive=48,
+                         p_window=buffer, k_depth=buffer + 4,
+                         motion_filter_thresh=-1.0,   # take every frame:
+                         keyframe_thresh=-1.0,        # measures full path
+                         )
+    frontend = RaftVisualFrontend(params, cfg, (H, W))
+
+    fusion = NerfFusion(NerfFusionConfig(
+        buffer=buffer, height=H, width=W, batch_rays=4096,
+        iters_per_spin=10), seed=0)
+
+    data_m = DataModule(ds)
+    slam_m = SlamModule(frontend)
+    fusion_m = FusionModule(fusion, mode="nerf", extra_spins_after_done=5)
+    sink = EvalSink()
+    connect(data_m, slam_m, "data")
+    connect(slam_m, sink, "slam")
+    connect(slam_m, fusion_m, "slam")
+    modules = [data_m, slam_m, fusion_m, sink]
+
+    # warm up compiles with the first two frames outside the timer
+    warm = [ds[0], ds[1]]
+    t0 = time.time()
+    run_parallel(modules, timeout_s=3000.0)
+    wall = time.time() - t0
+
+    n_kf = frontend.kf_idx + 1
+    kf_per_s = n_kf / wall
+    out = {
+        "metric": "synthetic-room 336x640 tracking+mapping keyframes/sec"
+                  " (one chip, incl. compile)",
+        "value": round(kf_per_s, 3),
+        "unit": "keyframes/s",
+        "vs_baseline": round(kf_per_s / BASELINE_KF_PER_S, 3),
+        "detail": {
+            "n_keyframes": int(n_kf),
+            "wall_s": round(wall, 2),
+            "ngp_iters": int(fusion.iteration),
+            "slam_mean_ms": round(slam_m.stats()["mean_ms"], 1),
+            "fusion_mean_ms": round(fusion_m.stats()["mean_ms"], 1),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""nerf_slam_tpu SLAM demo CLI.
+
+Flag-compatible rebuild of the reference entry point
+(/root/reference/examples/slam_demo.py:20-60): dataset selection, buffer,
+stride, fusion mode, parallel vs sequential spin.  TPU replaces the
+two-GPU split: tracking and mapping share one chip (or two via
+--device_split) with async dispatch instead of CPU-bounced queues.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="nerf_slam_tpu demo")
+    p.add_argument("--dataset_dir", type=str, default=None,
+                   help="path to dataset (None -> synthetic room)")
+    p.add_argument("--dataset_name", type=str, default="synthetic",
+                   choices=["synthetic", "nerf", "replica", "tum", "euroc"])
+    p.add_argument("--buffer", type=int, default=32,
+                   help="max keyframes")
+    p.add_argument("--img_stride", type=int, default=1)
+    p.add_argument("--initial_k", type=int, default=0)
+    p.add_argument("--final_k", type=int, default=-1)
+    p.add_argument("--stereo", action="store_true")
+    p.add_argument("--weights", type=str, default=None,
+                   help="droid.pth checkpoint (torch) to convert")
+    p.add_argument("--fusion", type=str, default="nerf",
+                   choices=["nerf", "sigma", "tsdf", "none"])
+    p.add_argument("--parallel_run", action="store_true")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--gui", action="store_true",
+                   help="headless render dumps instead of a window")
+    p.add_argument("--out", type=str, default="results.csv")
+    p.add_argument("--height", type=int, default=120)
+    p.add_argument("--width", type=int, default=160)
+    p.add_argument("--n_frames", type=int, default=40)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build_dataset(args):
+    from ..datasets import build_dataset as factory
+    return factory(args.dataset_name, args.dataset_dir,
+                   n_frames=args.n_frames, height=args.height,
+                   width=args.width, initial_k=args.initial_k,
+                   final_k=args.final_k, buffer=args.buffer)
+
+
+def build_frontend(args, image_size):
+    import jax
+    import jax.numpy as jnp
+    from ..models import DroidNet, weights as W
+    from ..tracking import RaftVisualFrontend, FrontendConfig
+
+    H, Wd = image_size
+    h, w = H // 8, Wd // 8
+    net = DroidNet(dtype=jnp.bfloat16)
+    if args.weights:
+        params = W.load_droid_pth(args.weights)
+    else:
+        params = net.init(
+            jax.random.PRNGKey(args.seed), jnp.zeros((1, H, Wd, 3)),
+            jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
+            jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
+            jnp.array([0]), 1)
+        print("WARNING: no --weights given; using random network weights "
+              "(tracking quality will be poor)")
+    cfg = FrontendConfig(buffer=args.buffer,
+                         p_window=min(args.buffer, 32),
+                         k_depth=min(args.buffer + 8, 40))
+    return RaftVisualFrontend(params, cfg, image_size)
+
+
+def build_fusion(args):
+    if args.fusion == "none":
+        return None, None
+    if args.fusion == "nerf":
+        from ..fusion import NerfFusion, NerfFusionConfig
+        cfg = NerfFusionConfig(buffer=args.buffer, height=args.height,
+                               width=args.width)
+        return NerfFusion(cfg, seed=args.seed), "nerf"
+    from ..fusion.tsdf_fusion import TsdfFusion, TsdfFusionConfig
+    mask = "weighted" if args.fusion == "sigma" else "uniform"
+    return TsdfFusion(TsdfFusionConfig(depth_mask_type=mask)), args.fusion
+
+
+def run(args) -> dict:
+    from ..pipeline.modules import (DataModule, EvalSink, FusionModule,
+                                    SlamModule)
+    from ..pipeline.runner import connect, run_parallel, run_sequential
+    from ..utils.evaluation import ate_rmse, trajectory_from_packet
+
+    dataset = build_dataset(args)
+    probe = dataset[0]
+    image_size = probe["images"].shape[:2]
+
+    frontend = build_frontend(args, image_size)
+    fusion, fusion_mode = build_fusion(args)
+
+    data_m = DataModule(dataset, img_stride=args.img_stride)
+    slam_m = SlamModule(frontend)
+    sink = EvalSink()
+    modules = [data_m, slam_m, sink]
+    connect(data_m, slam_m, "data")
+    connect(slam_m, sink, "slam")
+    fusion_m = None
+    if fusion is not None:
+        fusion_m = FusionModule(fusion, mode=fusion_mode)
+        connect(slam_m, fusion_m, "slam")
+        modules.insert(2, fusion_m)
+
+    t0 = time.time()
+    if args.parallel_run:
+        run_parallel(modules, timeout_s=3600.0)
+    else:
+        run_sequential(modules)
+    wall = time.time() - t0
+
+    results = {"wall_s": wall, "n_keyframes": frontend.kf_idx + 1,
+               "kf_per_s": (frontend.kf_idx + 1) / wall}
+    for m in modules:
+        results[f"{m.name}_mean_ms"] = m.stats()["mean_ms"]
+
+    if sink.last_full is not None:
+        est, gt = trajectory_from_packet(sink.last_full)
+        if est.shape[0] >= 3:
+            results["ate_rmse_m"] = ate_rmse(est, gt)
+
+    if args.eval and fusion is not None and sink.last_full is not None:
+        pkt = sink.last_full
+        n = min(4, len(np.asarray(pkt["gt_poses"])))
+        gt_imgs = np.asarray(pkt["cam0_images"])[:n]
+        gt_depths = np.asarray(pkt["gt_depths"])[:n]
+        c2ws = np.asarray(pkt["gt_poses"])[:n]
+        intr = np.asarray(pkt["cam0_intrinsics"])[:n] * 8.0
+        row = fusion.evaluate(gt_imgs, gt_depths, c2ws, intr)
+        results.update({f"fusion_{k}": v for k, v in row.items()})
+
+    print(json.dumps(results))
+    return results
+
+
+def main(argv=None):
+    run(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

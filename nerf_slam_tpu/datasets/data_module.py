@@ -1,0 +1,25 @@
+"""Dataset factory (reference datasets/data_module.py + slam_demo wiring)."""
+from __future__ import annotations
+
+
+def build_dataset(dataset_name: str, dataset_dir: str = None, **kw):
+    if dataset_name == "synthetic" or dataset_dir is None:
+        from .synthetic import SyntheticDataset, SyntheticConfig
+        cfg_kw = {k: v for k, v in kw.items()
+                  if k in SyntheticConfig.__dataclass_fields__}
+        return SyntheticDataset(SyntheticConfig(**cfg_kw))
+    loader_kw = {k: v for k, v in kw.items()
+                 if k in ("initial_k", "final_k", "img_stride", "buffer")}
+    if dataset_name == "nerf":
+        from .nerf_dataset import NeRFDataset
+        return NeRFDataset(dataset_dir, **loader_kw)
+    if dataset_name == "replica":
+        from .replica_dataset import ReplicaDataset
+        return ReplicaDataset(dataset_dir, **loader_kw)
+    if dataset_name == "tum":
+        from .tum_dataset import TumDataset
+        return TumDataset(dataset_dir, **loader_kw)
+    if dataset_name == "euroc":
+        from .euroc_dataset import EurocDataset
+        return EurocDataset(dataset_dir, **loader_kw)
+    raise ValueError(f"unknown dataset '{dataset_name}'")

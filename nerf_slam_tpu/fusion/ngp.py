@@ -1,0 +1,156 @@
+"""NGP radiance field: hash encoding + fused small MLPs + volume render.
+
+TPU-native rebuild of the instant-ngp NeRF the reference drives through
+pyngp (/root/reference/fusion/nerf_fusion.py).  Everything is one jitted
+train step: ray generation, stratified + depth-guided sampling, hash
+encode, density/color MLPs (bf16 on the MXU), volume rendering, RGB-L2 +
+1/sigma^2-weighted depth-L2 loss (the reference's
+``depth_supervision_lambda`` + ``depth_loss_type=L2``), Adam update.
+
+Sampling strategy (TPU-friendly, static shapes): S_u stratified samples
+over [near, far] plus S_d samples from a Gaussian around the supervised
+depth when available -- the depth prior replaces instant-ngp's occupancy
+marching (which is divergence-heavy and gather-bound on TPU).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import optax
+
+from .hashgrid import HashGridConfig, encode, init_table, sh_encode_deg4
+
+
+class NGPConfig(NamedTuple):
+    grid: HashGridConfig = HashGridConfig()
+    hidden: int = 64
+    geo_features: int = 15          # density MLP extra outputs
+    n_uniform: int = 96             # stratified samples / ray
+    n_depth: int = 32               # depth-guided samples / ray
+    near: float = 0.05
+    far: float = 1.2                # in normalized aabb units (diag ~ 1.7)
+    depth_sigma_floor: float = 0.012
+    rgb_weight: float = 1.0
+    depth_weight: float = 0.5
+    lr: float = 1e-2
+    density_activation: str = "exp"  # exp (instant-ngp) | softplus
+
+
+class NGPField(nn.Module):
+    """Density + color MLPs (hash table lives outside as a raw param)."""
+    cfg: NGPConfig
+
+    @nn.compact
+    def __call__(self, feat: jax.Array, dirs: jax.Array):
+        """feat: (N, L*F) hash features; dirs: (N, 3) unit view dirs.
+        Returns (sigma (N,), rgb (N, 3))."""
+        h = nn.Dense(self.cfg.hidden, dtype=jnp.bfloat16,
+                     name="density_0")(feat.astype(jnp.bfloat16))
+        h = nn.relu(h)
+        h = nn.Dense(1 + self.cfg.geo_features, dtype=jnp.bfloat16,
+                     name="density_1")(h)
+        raw_sigma = h[..., 0].astype(jnp.float32)
+        if self.cfg.density_activation == "exp":
+            sigma = jnp.exp(jnp.clip(raw_sigma, -15.0, 12.0))
+        else:
+            sigma = jax.nn.softplus(raw_sigma)
+        geo = h[..., 1:]
+
+        sh = sh_encode_deg4(dirs).astype(jnp.bfloat16)
+        c = jnp.concatenate([geo, sh], axis=-1)
+        c = nn.relu(nn.Dense(self.cfg.hidden, dtype=jnp.bfloat16,
+                             name="rgb_0")(c))
+        c = nn.relu(nn.Dense(self.cfg.hidden, dtype=jnp.bfloat16,
+                             name="rgb_1")(c))
+        c = nn.Dense(3, dtype=jnp.bfloat16, name="rgb_2")(c)
+        rgb = jax.nn.sigmoid(c.astype(jnp.float32))
+        return sigma, rgb
+
+
+class NGPParams(NamedTuple):
+    table: jax.Array      # (L, T, F)
+    mlp: dict             # flax params
+
+
+def init_ngp(key: jax.Array, cfg: NGPConfig) -> Tuple[NGPParams, NGPField]:
+    k1, k2 = jax.random.split(key)
+    field = NGPField(cfg)
+    mlp = field.init(k1, jnp.zeros((8, cfg.grid.out_dim)),
+                     jnp.ones((8, 3)) / np.sqrt(3.0))
+    table = init_table(k2, cfg.grid)
+    return NGPParams(table=table, mlp=mlp), field
+
+
+def query(params: NGPParams, field: NGPField, cfg: NGPConfig,
+          pos: jax.Array, dirs: jax.Array):
+    """pos: (..., 3) in [0,1]^3, dirs: (..., 3) -> (sigma, rgb)."""
+    lead = pos.shape[:-1]
+    feat = encode(params.table, pos.reshape(-1, 3), cfg.grid)
+    sigma, rgb = field.apply(params.mlp, feat, dirs.reshape(-1, 3))
+    return sigma.reshape(lead), rgb.reshape(lead + (3,))
+
+
+# ---------------------------------------------------------------------------
+# sampling + rendering
+# ---------------------------------------------------------------------------
+
+def sample_along_rays(key, origins, dirs, depth_guess, depth_valid,
+                      cfg: NGPConfig):
+    """Return sorted sample distances t: (R, S) with S = n_uniform +
+    n_depth.  depth_guess: (R,) normalized depth along the ray (0 where
+    invalid)."""
+    R = origins.shape[0]
+    Su, Sd = cfg.n_uniform, cfg.n_depth
+    k1, k2 = jax.random.split(key)
+
+    # stratified uniform
+    edges = jnp.linspace(cfg.near, cfg.far, Su + 1)
+    lo = edges[:-1][None, :]
+    hi = edges[1:][None, :]
+    tu = lo + (hi - lo) * jax.random.uniform(k1, (R, Su))
+
+    # depth-guided gaussian (fall back to uniform when no depth)
+    sigma = jnp.maximum(cfg.depth_sigma_floor,
+                        0.05 * jnp.abs(depth_guess))[:, None]
+    td = depth_guess[:, None] + sigma * jax.random.normal(k2, (R, Sd))
+    td_fallback = cfg.near + (cfg.far - cfg.near) * jax.random.uniform(
+        k2, (R, Sd))
+    td = jnp.where(depth_valid[:, None] > 0, td, td_fallback)
+    td = jnp.clip(td, cfg.near, cfg.far)
+
+    t = jnp.sort(jnp.concatenate([tu, td], axis=-1), axis=-1)
+    return t
+
+
+def render_rays(params: NGPParams, field: NGPField, cfg: NGPConfig,
+                origins, dirs, t):
+    """Volume rendering.  origins/dirs: (R, 3) in normalized scene units
+    (dirs NOT necessarily unit: t is in units of ||dirs||).
+    Returns (rgb (R,3), depth (R,), acc (R,), weights (R,S))."""
+    R, S = t.shape
+    pos = origins[:, None, :] + t[..., None] * dirs[:, None, :]
+    view = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    view_b = jnp.broadcast_to(view[:, None, :], pos.shape)
+
+    sigma, rgb = query(params, field, cfg, pos, view_b)
+
+    # out-of-box samples contribute nothing
+    inside = jnp.all((pos >= 0.0) & (pos <= 1.0), axis=-1)
+    sigma = jnp.where(inside, sigma, 0.0)
+
+    dt = jnp.diff(t, axis=-1, append=t[..., -1:] + (cfg.far - cfg.near) / S)
+    dnorm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    alpha = 1.0 - jnp.exp(-sigma * dt * dnorm)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]),
+                             trans[..., :-1]], axis=-1)
+    weights = alpha * trans
+
+    rgb_out = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth_out = jnp.sum(weights * t, axis=-1)
+    acc = jnp.sum(weights, axis=-1)
+    return rgb_out, depth_out, acc, weights

@@ -1,0 +1,271 @@
+"""Uncertainty-weighted TSDF fusion (Sigma-Fusion) on a dense voxel grid.
+
+TPU-native rebuild of the reference TsdfFusion
+(/root/reference/fusion/tsdf_fusion.py): the Open3D VoxelBlockGrid +
+custom integrate kernel (:232-302) become one jitted dense update over a
+(G,G,G) grid -- on TPU a dense masked sweep beats sparse block hashing.
+
+Semantics preserved:
+  - per-pixel integration weight = 1/sigma_depth (:188, ``pow(-1).sqrt``
+    of the depth covariance); ``uniform`` mode uses weight 1
+  - sdf = depth_reading - voxel_cam_z, inliers need reading in
+    (0, max_depth) and sdf >= -trunc; sdf saturated at +trunc and
+    normalized (:272-276)
+  - weighted running average of tsdf and color, weights saturated at
+    max_weight (:280-300)
+  - masking by depth sigma threshold (``sigma`` vs ``tsdf`` modes,
+    :49-52, :545-554)
+  - ray-cast rendering for PSNR / depth-L1 eval (:319-484)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+
+
+@dataclass
+class TsdfFusionConfig:
+    grid_size: int = 192              # voxels per axis
+    volume_extent: float = 6.0        # metres covered per axis
+    volume_origin: tuple = (-3.0, -3.0, -1.0)
+    sdf_trunc_voxels: float = 4.0     # truncation band in voxel units
+    max_depth: float = 5.0
+    max_weight: float = 500.0
+    depth_mask_type: str = "weighted"  # weighted (sigma) | uniform (tsdf)
+    max_depth_sigma_thresh: float = 5.0
+
+    @property
+    def voxel_size(self) -> float:
+        return self.volume_extent / self.grid_size
+
+    @property
+    def sdf_trunc(self) -> float:
+        return self.sdf_trunc_voxels * self.voxel_size
+
+
+class TsdfVolume(NamedTuple):
+    tsdf: jax.Array     # (G, G, G)
+    weight: jax.Array   # (G, G, G)
+    color: jax.Array    # (G, G, G, 3)
+
+
+class TsdfFusion:
+    """Mapping backend; mirrors the reference TsdfFusion API surface."""
+
+    def __init__(self, cfg: Optional[TsdfFusionConfig] = None):
+        self.cfg = cfg or TsdfFusionConfig()
+        self.volume = self.reset_volume()
+
+    def reset_volume(self) -> TsdfVolume:
+        G = self.cfg.grid_size
+        self.volume = TsdfVolume(
+            tsdf=jnp.ones((G, G, G), jnp.float32),
+            weight=jnp.zeros((G, G, G), jnp.float32),
+            color=jnp.zeros((G, G, G, 3), jnp.float32))
+        return self.volume
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _integrate(self, volume: TsdfVolume, w2c: jax.Array,
+                   intrinsics: jax.Array, depth: jax.Array,
+                   depth_weight: jax.Array, color: jax.Array) -> TsdfVolume:
+        """Integrate one frame.  w2c: (4,4) cam_T_world matrix;
+        depth/depth_weight: (H, W); color: (H, W, 3) in [0,1]."""
+        cfg = self.cfg
+        G = cfg.grid_size
+        H, W = depth.shape
+
+        # voxel centers -> camera frame
+        ax = jnp.arange(G, dtype=jnp.float32)
+        origin = jnp.asarray(cfg.volume_origin, jnp.float32)
+        xs = origin[0] + (ax + 0.5) * cfg.voxel_size
+        ys = origin[1] + (ax + 0.5) * cfg.voxel_size
+        zs = origin[2] + (ax + 0.5) * cfg.voxel_size
+        X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+        pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+        R = w2c[:3, :3]
+        t = w2c[:3, 3]
+        cam = pts @ R.T + t
+        fx, fy, cx, cy = intrinsics
+        d = cam[:, 2]
+        u = jnp.round(fx * cam[:, 0] / d + cx).astype(jnp.int32)
+        v = jnp.round(fy * cam[:, 1] / d + cy).astype(jnp.int32)
+
+        in_img = (d > 0) & (u >= 0) & (v >= 0) & (u < W) & (v < H)
+        uc = jnp.clip(u, 0, W - 1)
+        vc = jnp.clip(v, 0, H - 1)
+        reading = depth[vc, uc]
+        wr = depth_weight[vc, uc]
+        cr = color[vc, uc]
+
+        sdf = reading - d
+        inlier = in_img & (reading > 0) & (reading < cfg.max_depth) & \
+            (sdf >= -cfg.sdf_trunc)
+        sdf = jnp.minimum(sdf, cfg.sdf_trunc) / cfg.sdf_trunc
+        wr = jnp.where(inlier, wr, 0.0)
+
+        w_old = volume.weight.reshape(-1)
+        wp = w_old + wr
+        wp_safe = jnp.maximum(wp, 1e-8)
+        tsdf_new = (w_old * volume.tsdf.reshape(-1) + wr * sdf) / wp_safe
+        color_new = (w_old[:, None] * volume.color.reshape(-1, 3)
+                     + wr[:, None] * cr) / wp_safe[:, None]
+        keep = wr > 0
+        tsdf_out = jnp.where(keep, tsdf_new, volume.tsdf.reshape(-1))
+        color_out = jnp.where(keep[:, None], color_new,
+                              volume.color.reshape(-1, 3))
+        w_out = jnp.where(keep, jnp.minimum(wp, cfg.max_weight), w_old)
+
+        return TsdfVolume(tsdf=tsdf_out.reshape(G, G, G),
+                          weight=w_out.reshape(G, G, G),
+                          color=color_out.reshape(G, G, G, 3))
+
+    def integrate_frame(self, w2c, intrinsics, depth, depth_cov, color_u8):
+        """Host wrapper: applies the sigma weighting / masking policy."""
+        cfg = self.cfg
+        depth = jnp.asarray(depth, jnp.float32)
+        cov = jnp.asarray(depth_cov, jnp.float32)
+        if cfg.depth_mask_type == "uniform":
+            wgt = jnp.ones_like(depth)
+        else:
+            wgt = 1.0 / jnp.sqrt(jnp.maximum(cov, 1e-12))
+            # mask out wildly uncertain depths
+            wgt = jnp.where(jnp.sqrt(jnp.maximum(cov, 0))
+                            > cfg.max_depth_sigma_thresh, 0.0, wgt)
+        color = jnp.asarray(color_u8, jnp.float32) / 255.0
+        self.volume = self._integrate(
+            self.volume, jnp.asarray(w2c, jnp.float32),
+            jnp.asarray(intrinsics, jnp.float32), depth, wgt, color)
+
+    def fuse(self, packet: Optional[Dict]) -> bool:
+        """Consume a frontend viz packet (build_volume equivalent)."""
+        if packet is None:
+            return False
+        if packet.get("is_last_frame") and "viz_idx" not in packet:
+            return True
+        poses7 = jnp.asarray(np.asarray(packet["cam0_poses"]))
+        w2cs = se3.matrix(poses7)
+        idepths = np.asarray(packet["cam0_idepths_up"])
+        covs = np.asarray(packet["cam0_depths_cov_up"])
+        imgs = np.asarray(packet["cam0_images"])
+        intr = np.asarray(packet["cam0_intrinsics"]) * 8.0
+        with np.errstate(divide="ignore"):
+            depths = np.where(idepths > 1e-6, 1.0 / idepths, 0.0)
+        for i in range(depths.shape[0]):
+            self.integrate_frame(w2cs[i], intr[i], depths[i], covs[i],
+                                 imgs[i])
+        return bool(packet.get("is_last_frame", False))
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _raycast(self, volume: TsdfVolume, c2w: jax.Array,
+                 shape: Tuple[int, int], intrinsics: jax.Array,
+                 n_steps: int = 192):
+        """Fixed-step ray march to the tsdf zero crossing; returns
+        (rgb (H,W,3), depth (H,W))."""
+        cfg = self.cfg
+        H, W = shape
+        G = cfg.grid_size
+        fx, fy, cx, cy = intrinsics
+        u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
+                            jnp.arange(H, dtype=jnp.float32) + 0.5)
+        dirs_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy,
+                              jnp.ones_like(u)], -1)
+        dirs = dirs_cam @ c2w[:3, :3].T
+        origin = c2w[:3, 3]
+
+        step = cfg.max_depth / n_steps
+        ts = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) * step
+
+        vo = jnp.asarray(cfg.volume_origin, jnp.float32)
+
+        def sample_grid(pts):
+            """Nearest-voxel tsdf/weight/color at world points (...,3)."""
+            g = (pts - vo) / cfg.voxel_size - 0.5
+            gi = jnp.clip(jnp.round(g).astype(jnp.int32), 0, G - 1)
+            inb = jnp.all((g >= 0) & (g <= G - 1), axis=-1)
+            tv = volume.tsdf[gi[..., 0], gi[..., 1], gi[..., 2]]
+            wv = volume.weight[gi[..., 0], gi[..., 1], gi[..., 2]]
+            cv = volume.color[gi[..., 0], gi[..., 1], gi[..., 2]]
+            tv = jnp.where(inb & (wv > 0), tv, 1.0)
+            return tv, cv, inb
+
+        # march: find the first sign change of tsdf along each ray
+        def body(carry, t):
+            prev_tsdf, hit_t, hit_col, found = carry
+            pts = origin + t * dirs
+            tv, cv, inb = sample_grid(pts)
+            crossing = (prev_tsdf > 0) & (tv <= 0) & ~found
+            # linear interpolation of the crossing point
+            frac = prev_tsdf / jnp.maximum(prev_tsdf - tv, 1e-6)
+            t_hit = t - step + frac * step
+            hit_t = jnp.where(crossing, t_hit, hit_t)
+            hit_col = jnp.where(crossing[..., None], cv, hit_col)
+            found = found | crossing
+            return (tv, hit_t, hit_col, found), None
+
+        init = (jnp.ones((H, W)), jnp.zeros((H, W)),
+                jnp.zeros((H, W, 3)), jnp.zeros((H, W), bool))
+        (last, hit_t, hit_col, found), _ = jax.lax.scan(body, init, ts)
+
+        depth = jnp.where(found, hit_t * dirs_cam[..., 2]
+                          / jnp.linalg.norm(dirs_cam, axis=-1)
+                          * jnp.linalg.norm(dirs, axis=-1), 0.0)
+        # dirs has unit z in cam frame -> t is z-depth already
+        depth = jnp.where(found, hit_t, 0.0)
+        return hit_col, depth
+
+    def render(self, c2w, intrinsics, shape):
+        rgb, depth = self._raycast(self.volume, jnp.asarray(c2w,
+                                                            jnp.float32),
+                                   tuple(shape),
+                                   jnp.asarray(intrinsics, jnp.float32))
+        return np.asarray(rgb), np.asarray(depth)
+
+    def evaluate(self, gt_images_u8, gt_depths, c2ws, intrinsics,
+                 max_views: int = 4):
+        """PSNR + depth-L1(cm) via ray casting (reference :456-484)."""
+        psnrs, l1s = [], []
+        for i in range(min(len(c2ws), max_views)):
+            shape = gt_images_u8[i].shape[:2]
+            rgb, depth = self.render(c2ws[i], intrinsics[i], shape)
+            gt = np.asarray(gt_images_u8[i], np.float32) / 255.0
+            ok = depth > 0
+            if ok.sum() < 10:
+                continue
+            mse = float(np.mean((rgb[ok] - gt[ok]) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+            if gt_depths is not None:
+                gtd = np.asarray(gt_depths[i], np.float32)
+                sel = ok & (gtd > 0)
+                err = np.abs(depth - gtd)[sel]
+                err = err[err < 2.0]
+                if err.size:
+                    l1s.append(float(err.mean()) * 100.0)
+        return {"psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+                "depth_l1_cm": float(np.mean(l1s)) if l1s else float("nan")}
+
+    def extract_surface_points(self, max_points: int = 200000):
+        """Zero-crossing voxel centers + colors (mesh stand-in; marching
+        cubes lands with the mesher component)."""
+        cfg = self.cfg
+        t = np.asarray(self.volume.tsdf)
+        w = np.asarray(self.volume.weight)
+        mask = (np.abs(t) < 0.5) & (w > 1.0)
+        idx = np.argwhere(mask)
+        if idx.shape[0] > max_points:
+            sel = np.random.RandomState(0).choice(
+                idx.shape[0], max_points, replace=False)
+            idx = idx[sel]
+        pts = np.asarray(cfg.volume_origin) + (idx + 0.5) * cfg.voxel_size
+        cols = np.asarray(self.volume.color)[idx[:, 0], idx[:, 1],
+                                             idx[:, 2]]
+        return pts, cols

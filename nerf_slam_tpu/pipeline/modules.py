@@ -1,0 +1,116 @@
+"""Concrete pipeline stages: data source, SLAM, fusion, eval sink.
+
+Equivalents of the reference's DataModule / SlamModule / FusionModule
+wrappers (datasets/data_module.py, slam/slam_module.py,
+fusion/fusion_module.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .module import PipelineModule
+
+
+class DataModule(PipelineModule):
+    """Source stage: iterates a dataset (reference datasets/data_module.py)."""
+
+    def __init__(self, dataset, parallel_run: bool = True,
+                 img_stride: int = 1):
+        super().__init__("data", parallel_run)
+        self.dataset = dataset
+        self.img_stride = img_stride
+        self._idx = 0
+        self._out_k = 0
+
+    def spin_once(self, _):
+        n = len(self.dataset)
+        if self._idx >= n:
+            self.shutdown_module()
+            return None
+        pkt = self.dataset[self._idx]
+        pkt = dict(pkt)
+        pkt["k"] = self._out_k
+        last_after_stride = self._idx + self.img_stride >= n
+        pkt["is_last_frame"] = bool(pkt.get("is_last_frame", False)
+                                    or last_after_stride)
+        self._idx += self.img_stride
+        self._out_k += 1
+        if pkt["is_last_frame"]:
+            self.shutdown_module()
+        return pkt
+
+
+class SlamModule(PipelineModule):
+    """Tracking stage wrapping RaftVisualFrontend
+    (reference slam/slam_module.py)."""
+
+    def __init__(self, frontend, parallel_run: bool = True):
+        super().__init__("slam", parallel_run)
+        self.frontend = frontend
+
+    def spin_once(self, packet):
+        if packet is None:
+            return None
+        if isinstance(packet, dict) and "data" in packet:
+            packet = packet["data"]
+        if packet is None:
+            return None
+        out = self.frontend(packet["k"], packet)
+        if self.frontend.stop_condition():
+            self.shutdown_module()
+        return out
+
+
+class FusionModule(PipelineModule):
+    """Mapping stage: NeRF or TSDF fusion with non-blocking input so the
+    NGP keeps training between packets (reference fusion_module.py:30-32)."""
+
+    def __init__(self, fusion, mode: str = "nerf",
+                 parallel_run: bool = True, iters_per_spin: int = 10,
+                 extra_spins_after_done: int = 50):
+        super().__init__("fusion", parallel_run, input_timeout=1e-3)
+        self.fusion = fusion
+        self.mode = mode
+        self.iters_per_spin = iters_per_spin
+        self.extra_spins_after_done = extra_spins_after_done
+        self.done = False
+        self._spins_since_done = 0
+
+    def spin_once(self, packet):
+        pkt = None
+        if packet is not None:
+            pkt = packet.get("slam") if isinstance(packet, dict) else packet
+        if pkt is not None:
+            self.done = self.fusion.fuse(pkt) or self.done
+        if self.mode == "nerf":
+            self.fusion.fit_volume(self.iters_per_spin)
+        if self.done:
+            self._spins_since_done += 1
+            if (self.mode != "nerf"
+                    or self._spins_since_done
+                    >= self.extra_spins_after_done):
+                self.shutdown_module()
+        return {"fusion_step": getattr(self.fusion, "iteration", 0)}
+
+
+class EvalSink(PipelineModule):
+    """Collects SLAM packets for post-hoc evaluation (GT poses etc.)."""
+
+    def __init__(self, parallel_run: bool = True):
+        super().__init__("eval", parallel_run)
+        self.packets = []
+        self.last_full: Optional[Dict[str, Any]] = None
+
+    def spin_once(self, packet):
+        if isinstance(packet, dict) and "slam" in packet:
+            packet = packet["slam"]
+        if packet is None:
+            return None
+        self.packets.append(packet)
+        if "cam0_poses" in packet:
+            self.last_full = packet
+        if packet.get("is_last_frame"):
+            self.shutdown_module()
+        return packet

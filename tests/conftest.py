@@ -17,6 +17,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# x64 available for finite-difference oracle tests (f32 tests pass explicit
-# dtypes)
-jax.config.update("jax_enable_x64", True)
+# NOTE: x64 stays OFF globally (f32 is the production dtype and 2-4x faster
+# on CPU); finite-difference oracle tests opt in locally with
+# `with jax.experimental.enable_x64():`.

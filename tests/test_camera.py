@@ -1,11 +1,18 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_slam_tpu.geometry import camera, se3, upsample
 
 
-def make_scene(key, n=4, h=12, w=16, dtype=jnp.float64):
+@pytest.fixture
+def x64():
+    with jax.enable_x64(True):
+        yield
+
+
+def make_scene(key, n=4, h=12, w=16, dtype=jnp.float32):
     k1, k2, k3 = jax.random.split(key, 3)
     # small random poses near identity so reprojections stay in frame
     xi = 0.05 * jax.random.normal(k1, (n, 6), dtype=dtype)
@@ -48,8 +55,9 @@ def _fd_pose_jac(poses, disps, intr, ii, jj, pose_idx, eps=1e-6):
     return jnp.stack(cols, axis=-1)  # (E,H,W,2,6)
 
 
-def test_projective_jacobians_vs_finite_difference():
-    poses, disps, intr = make_scene(jax.random.PRNGKey(2))
+def test_projective_jacobians_vs_finite_difference(x64):
+    poses, disps, intr = make_scene(jax.random.PRNGKey(2),
+                                    dtype=jnp.float64)
     ii = jnp.array([0, 2])
     jj = jnp.array([1, 3])
     coords, valid, (Ji, Jj, Jz) = camera.projective_transform(
@@ -65,8 +73,9 @@ def test_projective_jacobians_vs_finite_difference():
     np.testing.assert_allclose(Ji[0] * mask, fd[0] * mask, atol=1e-5)
 
 
-def test_depth_jacobian_vs_finite_difference():
-    poses, disps, intr = make_scene(jax.random.PRNGKey(3))
+def test_depth_jacobian_vs_finite_difference(x64):
+    poses, disps, intr = make_scene(jax.random.PRNGKey(3),
+                                    dtype=jnp.float64)
     ii = jnp.array([0])
     jj = jnp.array([1])
     coords, valid, (_, _, Jz) = camera.projective_transform(
