@@ -20,6 +20,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from nerf_slam_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
     from nerf_slam_tpu.datasets import SyntheticDataset, SyntheticConfig
     from nerf_slam_tpu.models import DroidNet
     from nerf_slam_tpu.tracking import RaftVisualFrontend, FrontendConfig

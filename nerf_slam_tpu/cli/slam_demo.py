@@ -90,6 +90,8 @@ def build_fusion(args):
 
 
 def run(args) -> dict:
+    from ..utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     from ..pipeline.modules import (DataModule, EvalSink, FusionModule,
                                     SlamModule)
     from ..pipeline.runner import connect, run_parallel, run_sequential

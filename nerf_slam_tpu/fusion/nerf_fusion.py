@@ -138,14 +138,16 @@ class NerfFusion:
 
         cfg = self.cfg
         ids = np.asarray(packet["viz_idx"])
-        poses7 = np.asarray(packet["cam0_poses"])      # cam_T_world 7-vec
+        n = int(packet.get("viz_count", ids.shape[0]))
+        ids = ids[:n]
+        poses7 = np.asarray(packet["cam0_poses"])[:n]  # cam_T_world 7-vec
         from ..geometry import se3
         w2c = se3.matrix(jnp.asarray(poses7))
         c2w = np.linalg.inv(np.asarray(w2c))
 
-        images = np.asarray(packet["cam0_images"])     # (n, H, W, 3) u8
-        idepths_up = np.asarray(packet["cam0_idepths_up"]).copy()
-        depths_cov_up = np.asarray(packet["cam0_depths_cov_up"]).copy()
+        images = np.asarray(packet["cam0_images"])[:n]  # (n, H, W, 3) u8
+        idepths_up = np.asarray(packet["cam0_idepths_up"])[:n].copy()
+        depths_cov_up = np.asarray(packet["cam0_depths_cov_up"])[:n].copy()
 
         # uncertainty masking (reference :173-183)
         if cfg.mask_type == "ours":
@@ -164,7 +166,7 @@ class NerfFusion:
         with np.errstate(divide="ignore"):
             depths = np.where(idepths_up > 1e-6, 1.0 / idepths_up, -1.0)
 
-        intr = np.asarray(packet["cam0_intrinsics"]) * 8.0  # full-res
+        intr = np.asarray(packet["cam0_intrinsics"])[:n] * 8.0  # full-res
         self.update_training_images(ids, c2w, images, depths,
                                     depths_cov_up, intr)
         return bool(packet.get("is_last_frame", False))

@@ -151,12 +151,14 @@ class TsdfFusion:
             return False
         if packet.get("is_last_frame") and "viz_idx" not in packet:
             return True
-        poses7 = jnp.asarray(np.asarray(packet["cam0_poses"]))
+        n = int(packet.get("viz_count",
+                           np.asarray(packet["viz_idx"]).shape[0]))
+        poses7 = jnp.asarray(np.asarray(packet["cam0_poses"])[:n])
         w2cs = se3.matrix(poses7)
-        idepths = np.asarray(packet["cam0_idepths_up"])
-        covs = np.asarray(packet["cam0_depths_cov_up"])
-        imgs = np.asarray(packet["cam0_images"])
-        intr = np.asarray(packet["cam0_intrinsics"]) * 8.0
+        idepths = np.asarray(packet["cam0_idepths_up"])[:n]
+        covs = np.asarray(packet["cam0_depths_cov_up"])[:n]
+        imgs = np.asarray(packet["cam0_images"])[:n]
+        intr = np.asarray(packet["cam0_intrinsics"])[:n] * 8.0
         with np.errstate(divide="ignore"):
             depths = np.where(idepths > 1e-6, 1.0 / idepths, 0.0)
         for i in range(depths.shape[0]):

@@ -5,6 +5,10 @@ Mirrors /root/reference/networks/modules/gru.py and
 names kept for weight conversion).  NHWC layout; scatter_mean becomes
 segment_sum over static depth-slot indices so the whole operator jits
 with padded edge sets.
+
+Defined setup-style (not @nn.compact) so the GraphAgg head can also be
+invoked on its own: the frontend fuses N GRU+DBA iterations in one jit
+and only needs the (large) upsample mask once, after the last iteration.
 """
 from __future__ import annotations
 
@@ -17,40 +21,40 @@ import flax.linen as nn
 from .layers import gradient_clip
 
 
+def _conv(features, kernel, dtype, name=None):
+    pad = kernel // 2
+    return nn.Conv(features, (kernel, kernel),
+                   padding=[(pad, pad)] * 2, dtype=dtype, name=name)
+
+
 class ConvGRU(nn.Module):
     """3x3 ConvGRU with a sigmoid-gated global-context path (gru.py:5-32)."""
     h_planes: int = 128
     i_planes: int = 320
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
+    def setup(self):
+        d = self.dtype
+        self.convz = _conv(self.h_planes, 3, d)
+        self.convr = _conv(self.h_planes, 3, d)
+        self.convq = _conv(self.h_planes, 3, d)
+        self.w = _conv(self.h_planes, 1, d)
+        self.convz_glo = _conv(self.h_planes, 1, d)
+        self.convr_glo = _conv(self.h_planes, 1, d)
+        self.convq_glo = _conv(self.h_planes, 1, d)
+
     def __call__(self, net, *inputs):
         """net: (E, H, W, 128); inputs concatenated to (E, H, W, i_planes)."""
         inp = jnp.concatenate(inputs, axis=-1)
         net_inp = jnp.concatenate([net, inp], axis=-1)
 
-        glo = jax.nn.sigmoid(
-            nn.Conv(self.h_planes, (1, 1), dtype=self.dtype,
-                    name="w")(net)) * net
+        glo = jax.nn.sigmoid(self.w(net)) * net
         glo = jnp.mean(glo, axis=(-3, -2), keepdims=True)   # (E,1,1,128)
 
-        z = jax.nn.sigmoid(
-            nn.Conv(self.h_planes, (3, 3), padding=[(1, 1)] * 2,
-                    dtype=self.dtype, name="convz")(net_inp)
-            + nn.Conv(self.h_planes, (1, 1), dtype=self.dtype,
-                      name="convz_glo")(glo))
-        r = jax.nn.sigmoid(
-            nn.Conv(self.h_planes, (3, 3), padding=[(1, 1)] * 2,
-                    dtype=self.dtype, name="convr")(net_inp)
-            + nn.Conv(self.h_planes, (1, 1), dtype=self.dtype,
-                      name="convr_glo")(glo))
-        q = jnp.tanh(
-            nn.Conv(self.h_planes, (3, 3), padding=[(1, 1)] * 2,
-                    dtype=self.dtype, name="convq")(
-                jnp.concatenate([r * net, inp], axis=-1))
-            + nn.Conv(self.h_planes, (1, 1), dtype=self.dtype,
-                      name="convq_glo")(glo))
-
+        z = jax.nn.sigmoid(self.convz(net_inp) + self.convz_glo(glo))
+        r = jax.nn.sigmoid(self.convr(net_inp) + self.convr_glo(glo))
+        q = jnp.tanh(self.convq(jnp.concatenate([r * net, inp], axis=-1))
+                     + self.convq_glo(glo))
         return (1 - z) * net + z * q
 
 
@@ -60,74 +64,90 @@ class GraphAgg(nn.Module):
     slot (0..n_seg-1, or <0 for padded edges); replaces scatter_mean."""
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, net, seg, n_seg: int):
-        E, H, W, C = net.shape
-        x = nn.relu(nn.Conv(128, (3, 3), padding=[(1, 1)] * 2,
-                            dtype=self.dtype, name="conv1")(net))
+    def setup(self):
+        d = self.dtype
+        self.conv1 = _conv(128, 3, d)
+        self.conv2 = _conv(128, 3, d)
+        self.eta_0 = _conv(1, 3, d)
+        self.upmask_0 = _conv(8 * 8 * 9, 1, d)
 
+    def _pooled(self, net, seg, n_seg: int):
+        E = net.shape[0]
+        x = nn.relu(self.conv1(net))
         safe = jnp.where(seg < 0, n_seg, seg)
         summed = jax.ops.segment_sum(x, safe, num_segments=n_seg + 1)[:n_seg]
         count = jax.ops.segment_sum(jnp.ones((E,), x.dtype), safe,
                                     num_segments=n_seg + 1)[:n_seg]
         mean = summed / jnp.maximum(count, 1.0)[:, None, None, None]
+        return nn.relu(self.conv2(mean))
 
-        y = nn.relu(nn.Conv(128, (3, 3), padding=[(1, 1)] * 2,
-                            dtype=self.dtype, name="conv2")(mean))
+    def eta(self, net, seg, n_seg: int):
+        y = self._pooled(net, seg, n_seg)
+        e = self.eta_0(y)
+        return 0.01 * jax.nn.softplus(
+            gradient_clip(e.astype(jnp.float32)))[..., 0]
 
-        eta = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
-                      name="eta_0")(y)
-        eta = 0.01 * jax.nn.softplus(gradient_clip(
-            eta.astype(jnp.float32)))
-        upmask = nn.Conv(8 * 8 * 9, (1, 1), dtype=self.dtype,
-                         name="upmask_0")(y)
-        return eta[..., 0], upmask.astype(jnp.float32)   # (K,H,W), (K,H,W,576)
+    def __call__(self, net, seg, n_seg: int):
+        y = self._pooled(net, seg, n_seg)
+        e = self.eta_0(y)
+        eta = 0.01 * jax.nn.softplus(
+            gradient_clip(e.astype(jnp.float32)))[..., 0]
+        upmask = self.upmask_0(y).astype(jnp.float32)
+        return eta, upmask   # (K,H,W), (K,H,W,576)
 
 
 class UpdateModule(nn.Module):
     """RAFT-SLAM update operator (droid_net.py:78-150)."""
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
+    def setup(self):
+        d = self.dtype
+        self.corr_encoder_0 = _conv(128, 1, d)
+        self.corr_encoder_2 = _conv(128, 3, d)
+        self.flow_encoder_0 = _conv(128, 7, d)
+        self.flow_encoder_2 = _conv(64, 3, d)
+        self.weight_0 = _conv(128, 3, d)
+        self.weight_2 = _conv(2, 3, d)
+        self.delta_0 = _conv(128, 3, d)
+        self.delta_2 = _conv(2, 3, d)
+        self.gru = ConvGRU(128, 320, dtype=d)
+        self.agg = GraphAgg(dtype=d)
+
     def __call__(self, net, inp, corr, flow=None, seg=None,
-                 n_seg: int | None = None):
+                 n_seg: int | None = None, with_upmask: bool = True):
         """net/inp: (E, H, W, 128) hidden/context; corr: (E, H, W, 196);
         flow: (E, H, W, 4) motion features.  Returns (net, delta, weight
-        [, eta, upmask]) with delta/weight (E, H, W, 2) fp32."""
+        [, eta[, upmask]]) with delta/weight (E, H, W, 2) fp32."""
         E, H, W, _ = net.shape
         if flow is None:
             flow = jnp.zeros((E, H, W, 4), dtype=net.dtype)
 
-        c = nn.relu(nn.Conv(128, (1, 1), dtype=self.dtype,
-                            name="corr_encoder_0")(corr))
-        c = nn.relu(nn.Conv(128, (3, 3), padding=[(1, 1)] * 2,
-                            dtype=self.dtype, name="corr_encoder_2")(c))
+        c = nn.relu(self.corr_encoder_0(corr))
+        c = nn.relu(self.corr_encoder_2(c))
+        f = nn.relu(self.flow_encoder_0(flow))
+        f = nn.relu(self.flow_encoder_2(f))
 
-        f = nn.relu(nn.Conv(128, (7, 7), padding=[(3, 3)] * 2,
-                            dtype=self.dtype, name="flow_encoder_0")(flow))
-        f = nn.relu(nn.Conv(64, (3, 3), padding=[(1, 1)] * 2,
-                            dtype=self.dtype, name="flow_encoder_2")(f))
+        net = self.gru(net, inp, c, f)
 
-        net = ConvGRU(128, 320, dtype=self.dtype, name="gru")(
-            net, inp, c, f)
-
-        d = nn.relu(nn.Conv(128, (3, 3), padding=[(1, 1)] * 2,
-                            dtype=self.dtype, name="delta_0")(net))
-        d = nn.Conv(2, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
-                    name="delta_2")(d)
+        d = nn.relu(self.delta_0(net))
+        d = self.delta_2(d)
         delta = gradient_clip(d.astype(jnp.float32))
 
-        w = nn.relu(nn.Conv(128, (3, 3), padding=[(1, 1)] * 2,
-                            dtype=self.dtype, name="weight_0")(net))
-        w = nn.Conv(2, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
-                    name="weight_2")(w)
+        w = nn.relu(self.weight_0(net))
+        w = self.weight_2(w)
         weight = jax.nn.sigmoid(gradient_clip(w.astype(jnp.float32)))
 
         if seg is not None:
-            eta, upmask = GraphAgg(dtype=self.dtype, name="agg")(
-                net, seg, n_seg)
-            return net, delta, weight, eta, upmask
+            if with_upmask:
+                eta, upmask = self.agg(net, seg, n_seg)
+                return net, delta, weight, eta, upmask
+            eta = self.agg.eta(net, seg, n_seg)
+            return net, delta, weight, eta
         return net, delta, weight
+
+    def aggregate(self, net, seg, n_seg: int):
+        """GraphAgg only (for post-loop upsample-mask extraction)."""
+        return self.agg(net, seg, n_seg)
 
 
 class DroidNet(nn.Module):
@@ -150,8 +170,13 @@ class DroidNet(nn.Module):
         net, inp = jnp.split(ctx, 2, axis=-1)
         return jnp.tanh(net), nn.relu(inp)
 
-    def update(self, net, inp, corr, flow=None, seg=None, n_seg=None):
-        return self.update_net(net, inp, corr, flow, seg, n_seg)
+    def update(self, net, inp, corr, flow=None, seg=None, n_seg=None,
+               with_upmask=True):
+        return self.update_net(net, inp, corr, flow, seg, n_seg,
+                               with_upmask)
+
+    def aggregate(self, net, seg, n_seg):
+        return self.update_net.aggregate(net, seg, n_seg)
 
     def __call__(self, images, net, inp, corr, flow, seg, n_seg):
         """init-shape driver (used for parameter initialization only)."""

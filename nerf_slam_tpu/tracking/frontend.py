@@ -67,6 +67,7 @@ class FrontendConfig:
     lm: float = 1e-4
     ep: float = 0.1
     compute_covariances: bool = True
+    global_ba: bool = False          # run backend() at terminate (:73)
     # initial depth-variance prior (visual_frontend.py:148-151)
     sigma_idepth: float = 0.1
 
@@ -226,100 +227,194 @@ class RaftVisualFrontend:
         return camera.frame_distance_bidirectional(
             cam_T_world, idepths, intrinsics, ii, jj, beta)
 
-    # the hot fused step ------------------------------------------------
-    @partial(jax.jit, static_argnums=0)
-    def _update_once(self, params, state: KeyframeState, edges: EdgeState,
-                     inactive: InactiveState, plan: dba.DBAPlan,
-                     ii_act, jj_act, edge_on, seg, kx_up):
-        """One GRU+DBA iteration over the active graph.
+    @partial(jax.jit, static_argnums=0, donate_argnums=3)
+    def _refresh_edges(self, params, state: KeyframeState,
+                       edges: EdgeState, gather_idx, new_mask,
+                       ii_pad, jj_pad):
+        """Fused edge-state maintenance: compact surviving slots
+        (gather_idx), initialize new slots (hidden from contexts, flow
+        from reprojection, weight 0 -- visual_frontend.py:846-862), and
+        rebuild the correlation pyramid for the active set.  One jit, one
+        static shape, regardless of how many edges changed."""
+        hidden = edges.hidden[gather_idx]
+        flow = edges.flow[gather_idx]
+        flow_w = edges.flow_weight[gather_idx]
 
-        ii_act/jj_act: (Ea,) active edge endpoints (padded); edge_on: (Ea,)
-        1/0 validity; seg: (Ea,) depth-slot segment per active edge for
-        GraphAgg pooling; kx_up: (K,) keyframe ids receiving upsampled
-        depth products.  `plan` covers active+inactive slots (Ea+Ei),
-        slot-aligned with [edges.flow ++ inactive.flow].
-        Mirrors visual_frontend.update() (:370-470).
+        target, _, _ = camera.projective_transform(
+            state.cam_T_world, state.idepths, state.intrinsics,
+            ii_pad, jj_pad)
+        nm = new_mask[:, None, None, None]
+        hidden = jnp.where(nm > 0, state.contexts[ii_pad], hidden)
+        flow = jnp.where(nm > 0, target, flow)
+        flow_w = jnp.where(nm > 0, 0.0, flow_w)
+
+        f = state.features.transpose(0, 3, 1, 2)
+        levels = tuple(
+            lv.astype(jnp.bfloat16) for lv in corr.build_pyramid(
+                corr.build_volume(f[ii_pad], f[jj_pad])))
+        return EdgeState(hidden=hidden, flow=flow, flow_weight=flow_w,
+                         corr_levels=levels)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _append_inactive(self, inactive: InactiveState, flow_src,
+                         w_src, idx_pad, n_old, n_new):
+        """Append n_new rows (gathered from flow_src at idx_pad[:n_new])
+        to the inactive ring, shifting out the oldest on overflow.
+        All shapes static; n_old/n_new are traced scalars."""
+        Ei = inactive.flow.shape[0]
+        shift = jnp.maximum(n_old + n_new - Ei, 0)
+        base_f = jnp.roll(inactive.flow, -shift, axis=0)
+        base_w = jnp.roll(inactive.flow_weight, -shift, axis=0)
+        start = n_old - shift
+        rows = jnp.arange(Ei)
+        pos = jnp.where(rows < n_new, start + rows, Ei)  # Ei -> dropped
+        new_f = flow_src[idx_pad]
+        new_w = w_src[idx_pad]
+        f = base_f.at[pos].set(new_f, mode="drop")
+        w = base_w.at[pos].set(new_w, mode="drop")
+        return InactiveState(flow=f, flow_weight=w)
+
+    @partial(jax.jit, static_argnums=0)
+    def _gather_viz(self, state: KeyframeState, sel):
+        """Fixed-size viz gather (padded selection indices)."""
+        return (state.cam_T_world[sel], state.gt_poses[sel],
+                state.gt_depths[sel], se3.inv(state.cam_T_world[sel]),
+                state.pose_cov[sel], state.idepths[sel],
+                state.idepths_up[sel], state.idepths_sensed[sel],
+                state.idepths_cov[sel], state.depths_cov[sel],
+                state.depths_cov_up[sel], state.images[sel],
+                state.intrinsics[sel])
+
+    # the hot fused step ------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+    def _update_n(self, params, state: KeyframeState, edges: EdgeState,
+                  inactive: InactiveState, plan: dba.DBAPlan,
+                  ii_act, jj_act, edge_on, seg, n_iters):
+        """n_iters fused GRU+DBA iterations over the active graph.
+
+        Equivalent to calling visual_frontend.update() (:370-470) n times,
+        but compiled as ONE program: the per-call loop in the reference
+        (iters1/iters2, :607-621) becomes a lax.while_loop, eliminating
+        per-iteration dispatch and host transfers.  Covariances and
+        convex upsampling run once after the loop (as the final
+        reference iteration would).
+
+        ii_act/jj_act: (Ea,) active edge endpoints (padded); edge_on:
+        (Ea,) 1/0 validity; seg: (Ea,) depth-slot per active edge for
+        GraphAgg; `plan` covers active+inactive slots (Ea+Ei),
+        slot-aligned with [edges.flow ++ inactive.flow].  n_iters is a
+        traced scalar, so every iteration count reuses one executable.
         """
         cfg = self.cfg
         h, w = self.h, self.w
         K = plan.kx.shape[0]
-
-        # 1. reproject active edges
-        coords1, _, _ = camera.projective_transform(
-            state.cam_T_world, state.idepths, state.intrinsics,
-            ii_act, jj_act)
         coords0 = camera.coords_grid(h, w)
-        motion = jnp.concatenate(
-            [coords1 - coords0, edges.flow - coords1], axis=-1)
-        motion = jnp.clip(motion, -64.0, 64.0)
-
-        # 2. correlation lookup
         cp = corr.CorrPyramid(list(edges.corr_levels))
-        cvals = cp(coords1).transpose(0, 2, 3, 1)
-
-        # 3. ConvGRU update
-        hidden, delta, weight, eta, upmask = self.net.apply(
-            params, edges.hidden,
-            state.cst_contexts[ii_act],
-            cvals.astype(jnp.bfloat16), motion.astype(jnp.bfloat16),
-            seg, K, method=DroidNet.update)
-
         on = edge_on[:, None, None, None]
-        flow = jnp.where(on > 0, coords1 + delta, edges.flow)
-        flow_weight = jnp.where(on > 0, weight, edges.flow_weight)
-        hidden = jnp.where(on > 0, hidden, edges.hidden)
+        ctx_inp = state.cst_contexts[ii_act]
+        sens_k = state.idepths_sensed[plan.kx]
 
-        # damping buffer scatter (visual_frontend.py:411)
-        damping = state.damping.at[kx_up].set(
-            jnp.where(plan.k_valid[:, None, None] > 0, eta,
-                      state.damping[kx_up]))
+        def one_iter(carry):
+            i, poses, disps, hidden, flow, flow_w, damping = carry
 
-        # 4. DBA over active + inactive edges
+            coords1, _, _ = camera.projective_transform(
+                poses, disps, state.intrinsics, ii_act, jj_act)
+            motion = jnp.concatenate(
+                [coords1 - coords0, flow - coords1], axis=-1)
+            motion = jnp.clip(motion, -64.0, 64.0)
+            cvals = cp(coords1).transpose(0, 2, 3, 1)
+
+            hidden2, delta, weight, eta = self.net.apply(
+                params, hidden, ctx_inp,
+                cvals.astype(jnp.bfloat16), motion.astype(jnp.bfloat16),
+                seg, K, False, method=DroidNet.update)
+
+            flow = jnp.where(on > 0, coords1 + delta, flow)
+            flow_w = jnp.where(on > 0, weight, flow_w)
+            hidden = jnp.where(on > 0, hidden2, hidden)
+
+            # damping buffer scatter (visual_frontend.py:411)
+            damping = damping.at[plan.kx].set(
+                jnp.where(plan.k_valid[:, None, None] > 0, eta,
+                          damping[plan.kx]))
+
+            targets = jnp.concatenate([flow, inactive.flow], axis=0)
+            weights = jnp.concatenate([flow_w, inactive.flow_weight],
+                                      axis=0)
+            eta_k = 0.2 * damping[plan.kx] + 1e-7
+            res = dba.dba_iterations(
+                poses, disps, state.intrinsics, targets, weights, eta_k,
+                sens_k, plan, iters=cfg.gn_iters, ep=cfg.ep, lm=cfg.lm,
+                compute_covariances=False)
+            return (i + 1, res.poses, res.disps, hidden, flow, flow_w,
+                    damping)
+
+        carry = (jnp.zeros((), jnp.int32), state.cam_T_world,
+                 state.idepths, edges.hidden, edges.flow,
+                 edges.flow_weight, state.damping)
+        carry = jax.lax.while_loop(lambda c: c[0] < n_iters, one_iter,
+                                   carry)
+        _, poses, disps, hidden, flow, flow_w, damping = carry
+
+        # final linearization: covariances + diagnostics
         targets = jnp.concatenate([flow, inactive.flow], axis=0)
-        weights = jnp.concatenate([flow_weight, inactive.flow_weight],
-                                  axis=0)
+        weights = jnp.concatenate([flow_w, inactive.flow_weight], axis=0)
         eta_k = 0.2 * damping[plan.kx] + 1e-7
-        res = dba.dba_iterations(
-            state.cam_T_world, state.idepths, state.intrinsics,
-            targets, weights, eta_k, state.idepths_sensed[plan.kx],
-            plan, iters=cfg.gn_iters, ep=cfg.ep, lm=cfg.lm,
-            compute_covariances=cfg.compute_covariances)
+        blocks = dba.linearize(poses, disps, state.intrinsics, targets,
+                               weights, plan)
+        Hd, vd, Ehat, C, wv = dba.assemble(blocks, plan, disps, eta_k,
+                                           sens_k)
+        if cfg.compute_covariances:
+            _, _, L, Q = dba.solve_system(Hd, vd, Ehat, C, wv, plan,
+                                          cfg.ep, cfg.lm)
+            pose_cov_p, z_cov = dba.covariances(L, Ehat, Q, plan)
+            z_cov = z_cov.reshape(K, h, w)
+        else:
+            pose_cov_p = jnp.tile(1e-4 * jnp.eye(6), (plan.px.shape[0],
+                                                      1, 1))
+            z_cov = jnp.ones((K, h, w))
 
-        # 5. covariance export (touched keyframes only)
-        pose_cov_g = _cov_droid_to_gtsam(res.pose_cov)
+        coords1, valid, _ = camera.projective_transform(
+            poses, disps, state.intrinsics, plan.ii, plan.jj)
+        r = (targets - coords1) * valid \
+            * plan.edge_valid[:, None, None, None]
+        flow_rms = jnp.sqrt(jnp.sum(r * r)
+                            / jnp.maximum(jnp.sum(valid) * 2.0, 1.0))
+
+        # covariance export (touched keyframes only)
         pose_cov = state.pose_cov.at[plan.px].set(
-            jnp.where((plan.p_valid[:, None, None] > 0), pose_cov_g,
+            jnp.where(plan.p_valid[:, None, None] > 0,
+                      _cov_droid_to_gtsam(pose_cov_p),
                       state.pose_cov[plan.px]))
-        idepths_cov = state.idepths_cov.at[plan.kx].set(
-            jnp.where(plan.k_valid[:, None, None] > 0, res.z_cov,
-                      state.idepths_cov[plan.kx]))
-        d4 = jnp.maximum(res.disps[plan.kx], 1e-3) ** 4
-        depths_cov_k = res.z_cov / d4
-        depths_cov = state.depths_cov.at[plan.kx].set(
-            jnp.where(plan.k_valid[:, None, None] > 0, depths_cov_k,
-                      state.depths_cov[plan.kx]))
-
-        # 6. convex upsampling of idepths + depth covs (:444-446)
-        up_d = upsample.upsample_disp(res.disps[kx_up],
-                                      upmask.transpose(0, 3, 1, 2)
-                                      .reshape(K, 576, h, w))
-        up_c = upsample.upsample_disp(depths_cov_k,
-                                      upmask.transpose(0, 3, 1, 2)
-                                      .reshape(K, 576, h, w), pow=1.0)
         kmask = plan.k_valid[:, None, None] > 0
-        idepths_up = state.idepths_up.at[kx_up].set(
-            jnp.where(kmask, up_d, state.idepths_up[kx_up]))
-        depths_cov_up = state.depths_cov_up.at[kx_up].set(
-            jnp.where(kmask, up_c, state.depths_cov_up[kx_up]))
+        idepths_cov = state.idepths_cov.at[plan.kx].set(
+            jnp.where(kmask, z_cov, state.idepths_cov[plan.kx]))
+        d4 = jnp.maximum(disps[plan.kx], 1e-3) ** 4
+        depths_cov_k = z_cov / d4
+        depths_cov = state.depths_cov.at[plan.kx].set(
+            jnp.where(kmask, depths_cov_k, state.depths_cov[plan.kx]))
+
+        # convex upsampling of idepths + depth covs (:444-446), using the
+        # upmask from the final hidden state
+        _, upmask = self.net.apply(params, hidden, seg, K,
+                                   method=DroidNet.aggregate)
+        um = upmask.transpose(0, 3, 1, 2).reshape(K, 576, h, w)
+        up_d = upsample.upsample_disp(disps[plan.kx], um)
+        up_c = upsample.upsample_disp(depths_cov_k, um, pow=1.0)
+        idepths_up = state.idepths_up.at[plan.kx].set(
+            jnp.where(kmask, up_d, state.idepths_up[plan.kx]))
+        depths_cov_up = state.depths_cov_up.at[plan.kx].set(
+            jnp.where(kmask, up_c, state.depths_cov_up[plan.kx]))
 
         state = state._replace(
-            cam_T_world=res.poses, idepths=res.disps, damping=damping,
+            cam_T_world=poses, idepths=disps, damping=damping,
             pose_cov=pose_cov, idepths_cov=idepths_cov,
             depths_cov=depths_cov, idepths_up=idepths_up,
             depths_cov_up=depths_cov_up)
         edges = edges._replace(hidden=hidden, flow=flow,
-                               flow_weight=flow_weight)
-        return state, edges, res.flow_rms
+                               flow_weight=flow_w,
+                               corr_levels=edges.corr_levels)
+        return state, edges, flow_rms
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -385,45 +480,28 @@ class RaftVisualFrontend:
     def _sync_edges_after_change(self, keep: Optional[np.ndarray],
                                  new_ii: np.ndarray, new_jj: np.ndarray,
                                  n_before: int):
-        """Compact surviving per-edge state and append new edges."""
+        """Compact surviving per-edge state, append new edges, rebuild
+        correlation -- one fixed-shape jit call."""
         cfg = self.cfg
         Ea = cfg.e_active
         g = self.graph
         n_now = g.n_edges
-
-        # gather surviving slots to the front
-        if keep is not None and (len(keep) != n_before
-                                 or not np.all(keep == np.arange(n_before))):
-            idx = np.zeros(Ea, dtype=np.int32)
-            idx[:len(keep)] = keep
-            gidx = jnp.asarray(idx)
-            self.edges = EdgeState(
-                hidden=self.edges.hidden[gidx],
-                flow=self.edges.flow[gidx],
-                flow_weight=self.edges.flow_weight[gidx],
-                corr_levels=self.edges.corr_levels)  # rebuilt below
-
         n_new = new_ii.shape[0]
-        if n_new:
-            s0 = n_now - n_new
-            slots = jnp.arange(s0, n_now)
-            st = self.state
-            ii_j = jnp.asarray(new_ii.astype(np.int32))
-            # init hidden from contexts, flow from reprojection (:846-862)
-            target, _, _ = camera.projective_transform(
-                st.cam_T_world, st.idepths, st.intrinsics,
-                ii_j, jnp.asarray(new_jj.astype(np.int32)))
-            self.edges = self.edges._replace(
-                hidden=self.edges.hidden.at[slots].set(
-                    st.contexts[ii_j]),
-                flow=self.edges.flow.at[slots].set(target),
-                flow_weight=self.edges.flow_weight.at[slots].set(0.0))
+        n_keep = n_now - n_new
 
-        # rebuild corr pyramid for the active set (one batched matmul)
-        ii_pad = self._pad_e(g.ii.astype(np.int32))
-        jj_pad = self._pad_e(g.jj.astype(np.int32))
-        levels = self._build_corr(self.state.features, ii_pad, jj_pad)
-        self.edges = self.edges._replace(corr_levels=levels)
+        gather = np.zeros(Ea, dtype=np.int32)
+        if keep is not None:
+            gather[:len(keep)] = keep
+        else:
+            gather[:n_keep] = np.arange(n_keep)
+        new_mask = np.zeros(Ea, dtype=np.float32)
+        new_mask[n_keep:n_now] = 1.0
+
+        self.edges = self._refresh_edges(
+            self.params, self.state, self.edges,
+            jnp.asarray(gather), jnp.asarray(new_mask),
+            self._pad_e(g.ii.astype(np.int32)),
+            self._pad_e(g.jj.astype(np.int32)))
 
     def add_factors(self, ii, jj, remove: bool = False):
         """visual_frontend.py:806-862."""
@@ -477,27 +555,16 @@ class RaftVisualFrontend:
     def _store_inactive_flows(self, idx: np.ndarray):
         """Append flows of edges `idx` to the inactive ring."""
         Ei = self.cfg.e_inactive
-        n_new = len(idx)
-        gidx = jnp.asarray(idx.astype(np.int32))
-        newf = self.edges.flow[gidx]
-        neww = self.edges.flow_weight[gidx]
-        # shift ring: drop oldest if overflow
+        n_new = min(len(idx), Ei)
+        idx_pad = np.zeros(Ei, dtype=np.int32)
+        idx_pad[:n_new] = idx[:n_new]
         n_old = min(self.graph.n_inactive, Ei)  # count before this append
-        total = n_old + n_new
-        if total > Ei:
-            shift = total - Ei
-            self.inactive = InactiveState(
-                flow=jnp.roll(self.inactive.flow, -shift, axis=0),
-                flow_weight=jnp.roll(self.inactive.flow_weight, -shift,
-                                     axis=0))
-            n_old -= shift
-        slots = jnp.arange(n_old, n_old + n_new)
-        self.inactive = InactiveState(
-            flow=self.inactive.flow.at[slots].set(newf),
-            flow_weight=self.inactive.flow_weight.at[slots].set(neww))
+        self.inactive = self._append_inactive(
+            self.inactive, self.edges.flow, self.edges.flow_weight,
+            jnp.asarray(idx_pad), jnp.int32(n_old), jnp.int32(n_new))
 
     # the reference's update() ------------------------------------------
-    def update(self, use_inactive: bool = True):
+    def update(self, use_inactive: bool = True, n_iters: int = 1):
         cfg = self.cfg
         g = self.graph
         if g.n_edges == 0:
@@ -536,16 +603,18 @@ class RaftVisualFrontend:
         edge_on = np.zeros(Ea, np.float32)
         edge_on[:n_act] = 1.0
 
-        state, edges, flow_rms = self._update_once(
+        state, edges, flow_rms = self._update_n(
             self.params, self.state, self.edges, self.inactive, plan,
             jnp.asarray(ii_all[:Ea].astype(np.int32)),
             jnp.asarray(jj_all[:Ea].astype(np.int32)),
-            jnp.asarray(edge_on), jnp.asarray(seg), plan.kx)
+            jnp.asarray(edge_on), jnp.asarray(seg),
+            jnp.int32(n_iters))
         self.state = state
         self.edges = edges
-        g.age += 1
+        g.age += n_iters
         self.viz_idx[kf0:self.kf_idx + 1] = True
-        return float(flow_rms)
+        self.last_flow_rms = flow_rms   # device scalar; sync only if read
+        return flow_rms
 
     def _slot_aligned_plan(self, ii_all, jj_all, valid_all, kf0, kf1):
         """Like dba.plan but keeping edges at their slot positions."""
@@ -587,12 +656,23 @@ class RaftVisualFrontend:
 
     # keyframe-level ops ------------------------------------------------
     def distance(self, ii, jj) -> np.ndarray:
+        """Frame distances, padded to a few fixed sizes so the jitted
+        kernel and the D2H transfer compile once per size class."""
         st = self.state
+        ii = np.asarray(ii, np.int32).reshape(-1)
+        jj = np.asarray(jj, np.int32).reshape(-1)
+        n = ii.shape[0]
+        for size in (16, 256, self.cfg.buffer ** 2):
+            if n <= size:
+                break
+        ii_p = np.zeros(size, np.int32)
+        jj_p = np.zeros(size, np.int32)
+        ii_p[:n] = ii
+        jj_p[:n] = jj
         d = self._distance(st.cam_T_world, st.idepths, st.intrinsics,
-                           jnp.asarray(np.asarray(ii, np.int32)),
-                           jnp.asarray(np.asarray(jj, np.int32)),
+                           jnp.asarray(ii_p), jnp.asarray(jj_p),
                            self.cfg.beta)
-        return np.asarray(d)
+        return np.asarray(d)[:n]
 
     def add_neighborhood_factors(self, kf0, kf1, radius=3):
         ii, jj = graphlib.neighborhood_edges(kf0, kf1, radius)
@@ -691,12 +771,10 @@ class RaftVisualFrontend:
     def __initialize(self):
         cfg = self.cfg
         self.add_neighborhood_factors(0, self.kf_idx, radius=3)
-        for _ in range(8):
-            self.update(use_inactive=True)
+        self.update(use_inactive=True, n_iters=8)
         self.add_proximity_factors(0, 0, rad=2, nms=2,
                                    thresh=cfg.frontend_thresh, remove=False)
-        for _ in range(8):
-            self.update(use_inactive=True)
+        self.update(use_inactive=True, n_iters=8)
 
         st = self.state
         nxt = self.kf_idx + 1
@@ -734,15 +812,13 @@ class RaftVisualFrontend:
                       st.idepths_sensed[self.kf_idx],
                       st.idepths[self.kf_idx])))
 
-        for _ in range(cfg.iters1):
-            self.update(use_inactive=True)
+        self.update(use_inactive=True, n_iters=cfg.iters1)
 
         d = self.distance([self.kf_idx - 2], [self.kf_idx - 1])
         if float(d[0]) < cfg.keyframe_thresh:
             return False
 
-        for _ in range(cfg.iters2):
-            self.update(use_inactive=True)
+        self.update(use_inactive=True, n_iters=cfg.iters2)
 
         nxt = self.kf_idx + 1
         if nxt < cfg.buffer:
@@ -760,9 +836,163 @@ class RaftVisualFrontend:
                     st.depths_cov[self.kf_idx]))
         return True
 
+    # global bundle adjustment (terminate path) -------------------------
+    @partial(jax.jit, static_argnums=0)
+    def _normalize_map(self, poses, disps, n_kf):
+        """Rescale so mean inverse depth is 1 (visual_frontend.py:1302-1307);
+        n_kf masks the active prefix of the buffers."""
+        B = poses.shape[0]
+        mask = (jnp.arange(B) < n_kf)[:, None, None]
+        s = jnp.sum(disps * mask) / jnp.maximum(
+            jnp.sum(mask * jnp.ones_like(disps)), 1.0)
+        disps = jnp.where(mask, disps / s, disps)
+        poses = poses.at[:, :3].multiply(
+            jnp.where(mask[:, :, 0], s, 1.0))
+        return poses, disps
+
+    @partial(jax.jit, static_argnums=0)
+    def _feature_pyramid(self, features):
+        """(B, h, w, 128) -> 4-level pooled pyramid in (B, C, h_l, w_l)."""
+        from ..ops.corr import _avg_pool2
+        f = features.transpose(0, 3, 1, 2).astype(jnp.float32)
+        pyr = [f]
+        for _ in range(3):
+            prev = pyr[-1]
+            if min(prev.shape[-2:]) >= 2:
+                pyr.append(_avg_pool2(prev))
+            else:  # tiny test images: stop shrinking
+                pyr.append(prev)
+        return tuple(p.astype(jnp.bfloat16) for p in pyr)
+
+    @partial(jax.jit, static_argnums=(0, 12), donate_argnums=(3, 6))
+    def _gba_chunk(self, params, pyramid, hidden, ctx_inp, coords1,
+                   flow, flow_w, ii_c, jj_c, valid_c, seg_c, n_seg):
+        """One GRU pass over an edge chunk with on-the-fly correlation
+        (update_lowmem's inner loop, visual_frontend.py:488-514)."""
+        from ..ops import corr as corr_ops
+        h, w = self.h, self.w
+        coords0 = camera.coords_grid(h, w)
+
+        outs = []
+        for lvl, fmaps in enumerate(pyramid):
+            # fmap1 is always level-0 (AltCorrBlock, corr.py:113-115)
+            c = corr_ops.alt_corr_level(
+                pyramid[0][ii_c].astype(jnp.float32),
+                fmaps[jj_c].astype(jnp.float32),
+                coords1 / (2 ** lvl), radius=3,
+                chunk=max(1, ii_c.shape[0] // 4))
+            outs.append(c)
+        cvals = jnp.concatenate(outs, axis=1).transpose(0, 2, 3, 1)
+
+        motion = jnp.clip(jnp.concatenate(
+            [coords1 - coords0, flow - coords1], -1), -64.0, 64.0)
+        hidden2, delta, weight, eta = self.net.apply(
+            params, hidden, ctx_inp, cvals.astype(jnp.bfloat16),
+            motion.astype(jnp.bfloat16), seg_c, n_seg, False,
+            method=DroidNet.update)
+        on = valid_c[:, None, None, None]
+        flow = jnp.where(on > 0, coords1 + delta, flow)
+        flow_w = jnp.where(on > 0, weight, flow_w)
+        hidden = jnp.where(on > 0, hidden2, hidden)
+        return hidden, flow, flow_w, eta
+
+    def global_ba(self, steps: int = 12, chunk: int = 32,
+                  thresh: float = None):
+        """Full-map bundle adjustment (backend(), visual_frontend.py:
+        1255-1295): rebuild the graph with backend thresholds, then
+        alternate chunked GRU flow refinement (on-the-fly correlation)
+        with DBA over all keyframes."""
+        cfg = self.cfg
+        kf = self.kf_idx
+        if kf < 2 or steps <= 0:
+            return
+
+        st = self.state
+        if float(jnp.max(st.idepths_sensed[:kf])) <= 0:
+            poses, disps = self._normalize_map(
+                st.cam_T_world, st.idepths, jnp.int32(kf + 1))
+            self.state = st._replace(cam_T_world=poses, idepths=disps)
+
+        # backend graph (max_factors=16*kf, backend thresholds)
+        saved_graph = self.graph
+        self.graph = graphlib.CovisibilityGraph(
+            max_factors=16 * kf)
+        t = kf + 1
+        ix = np.arange(0, t)
+        ii_g, jj_g = np.meshgrid(ix, ix, indexing="ij")
+        d = self.distance(ii_g.ravel(), jj_g.ravel())
+        ii, jj = graphlib.proximity_edges(
+            self.graph, d, kf, 0, 0, rad=2, nms=3,
+            thresh=thresh or 22.0, max_factors=16 * kf)
+        self.graph = saved_graph
+        if ii.shape[0] == 0:
+            return
+        n_e = ii.shape[0]
+        E_g = ((n_e + chunk - 1) // chunk) * chunk
+
+        pyramid = self._feature_pyramid(self.state.features)
+        h, w = self.h, self.w
+
+        ii_p = np.zeros(E_g, np.int64)
+        jj_p = np.zeros(E_g, np.int64)
+        val_p = np.zeros(E_g, np.float32)
+        ii_p[:n_e] = ii
+        jj_p[:n_e] = jj
+        val_p[:n_e] = 1.0
+
+        plan = self._slot_aligned_plan(ii_p, jj_p, val_p > 0, 0, t)
+        kmap = {int(k): i for i, k in enumerate(np.asarray(plan.kx))
+                if plan.k_valid[i] > 0}
+        seg = np.array([kmap.get(int(i), -1) if v else -1
+                        for i, v in zip(ii_p, val_p > 0)], np.int32)
+        K = plan.kx.shape[0]
+
+        hidden = self.state.contexts[jnp.asarray(ii_p.astype(np.int32))]
+        ctx = self.state.cst_contexts[jnp.asarray(ii_p.astype(np.int32))]
+        flow, _, _ = camera.projective_transform(
+            self.state.cam_T_world, self.state.idepths,
+            self.state.intrinsics, jnp.asarray(ii_p.astype(np.int32)),
+            jnp.asarray(jj_p.astype(np.int32)))
+        flow_w = jnp.zeros((E_g, h, w, 2))
+
+        eta_buf = 1e-6 * jnp.ones((self.cfg.buffer, h, w))
+        for _ in range(steps):
+            st = self.state
+            coords1, _, _ = camera.projective_transform(
+                st.cam_T_world, st.idepths, st.intrinsics,
+                jnp.asarray(ii_p.astype(np.int32)),
+                jnp.asarray(jj_p.astype(np.int32)))
+            for c0 in range(0, E_g, chunk):
+                sl = slice(c0, c0 + chunk)
+                hid_c, flow_c, flow_wc, eta_c = self._gba_chunk(
+                    self.params, pyramid, hidden[sl], ctx[sl],
+                    coords1[sl], flow[sl], flow_w[sl],
+                    jnp.asarray(ii_p[sl].astype(np.int32)),
+                    jnp.asarray(jj_p[sl].astype(np.int32)),
+                    jnp.asarray(val_p[sl]),
+                    jnp.asarray(seg[sl]), K)
+                hidden = hidden.at[sl].set(hid_c)
+                flow = flow.at[sl].set(flow_c)
+                flow_w = flow_w.at[sl].set(flow_wc)
+                eta_buf = eta_buf.at[plan.kx].set(
+                    jnp.where(plan.k_valid[:, None, None] > 0, eta_c,
+                              eta_buf[plan.kx]))
+
+            eta_k = 0.2 * eta_buf[plan.kx] + 1e-7
+            res = dba.dba_iterations(
+                st.cam_T_world, st.idepths, st.intrinsics, flow, flow_w,
+                eta_k, st.idepths_sensed[plan.kx], plan, iters=2,
+                ep=1e-2, lm=1e-5, compute_covariances=False)
+            self.state = st._replace(cam_T_world=res.poses,
+                                     idepths=res.disps)
+        self.viz_idx[: kf + 1] = True
+
     def terminate(self):
-        """End of sequence: flag the whole map for a final viz packet
-        (the reference's backend() does the same via viz_idx, :1295)."""
+        """End of sequence: optional global BA, then flag the whole map
+        for a final viz packet (visual_frontend.py:1309-1335)."""
+        if getattr(self.cfg, "global_ba", False):
+            self.global_ba(7)
+            self.global_ba(12)
         self.viz_idx[: self.kf_idx + 1] = True
         self.stop = True
 
@@ -776,26 +1006,26 @@ class RaftVisualFrontend:
             if batch.get("is_last_frame"):
                 return {"is_last_frame": True}
             return None
-        sel = jnp.asarray(idx.astype(np.int32))
-        st = self.state
-        out = {
-            "cam0_poses": st.cam_T_world[sel],
-            "gt_poses": st.gt_poses[sel],
-            "gt_depths": st.gt_depths[sel],
-            "world_T_body": se3.inv(st.cam_T_world[sel]),
-            "world_T_body_cov": st.pose_cov[sel],
-            "cam0_idepths": st.idepths[sel],
-            "cam0_idepths_up": st.idepths_up[sel],
-            "cam0_idepths_sensed": st.idepths_sensed[sel],
-            "cam0_idepths_cov": st.idepths_cov[sel],
-            "cam0_depths_cov": st.depths_cov[sel],
-            "cam0_depths_cov_up": st.depths_cov_up[sel],
-            "cam0_images": st.images[sel],
-            "cam0_intrinsics": st.intrinsics[sel],
+        # pad the selection to a fixed size class (jit + transfer reuse)
+        V = 16 if idx.size <= 16 else self.cfg.buffer
+        sel = np.full(V, idx[-1], np.int32)
+        sel[: idx.size] = idx[:V]
+        idx = idx[:V]
+        fields = self._gather_viz(self.state, jnp.asarray(sel))
+        names = ["cam0_poses", "gt_poses", "gt_depths", "world_T_body",
+                 "world_T_body_cov", "cam0_idepths", "cam0_idepths_up",
+                 "cam0_idepths_sensed", "cam0_idepths_cov",
+                 "cam0_depths_cov", "cam0_depths_cov_up", "cam0_images",
+                 "cam0_intrinsics"]
+        # fields stay PADDED (fixed shapes; no per-size recompiles or
+        # transfer programs) -- consumers slice with viz_count
+        out = dict(zip(names, fields))
+        out.update({
             "viz_idx": idx,
+            "viz_count": int(idx.size),
             "kf_idx": self.kf_idx,
             "kf_idx_to_f_idx": dict(self.kf_idx_to_f_idx),
             "is_last_frame": bool(batch.get("is_last_frame", False)),
-        }
+        })
         self.viz_idx[:] = False
         return out

@@ -53,8 +53,10 @@ def trajectory_from_packet(packet) -> Tuple[np.ndarray, np.ndarray]:
     """(est_positions, gt_positions) from a frontend viz packet."""
     from ..geometry import se3
     import jax.numpy as jnp
-    poses7 = jnp.asarray(np.asarray(packet["cam0_poses"]))
+    n = int(packet.get("viz_count",
+                       np.asarray(packet["cam0_poses"]).shape[0]))
+    poses7 = jnp.asarray(np.asarray(packet["cam0_poses"])[:n])
     c2w = np.asarray(se3.matrix(se3.inv(poses7)))
     est = c2w[:, :3, 3]
-    gt = np.asarray(packet["gt_poses"])[:, :3, 3]
+    gt = np.asarray(packet["gt_poses"])[:n, :3, 3]
     return est, gt

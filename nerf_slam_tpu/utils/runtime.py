@@ -1,0 +1,39 @@
+"""Runtime knobs: persistent compilation cache, profiling hooks.
+
+First-time XLA compiles through a remote TPU tunnel cost minutes; the
+persistent cache makes every subsequent process start warm.
+"""
+from __future__ import annotations
+
+import os
+import time
+from contextlib import contextmanager
+
+
+def enable_compilation_cache(path: str = None):
+    import jax
+    path = path or os.environ.get(
+        "NERF_SLAM_TPU_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # older jax versions
+        print(f"compilation cache unavailable: {e}")
+    return path
+
+
+@contextmanager
+def profile_trace(logdir: str = "/tmp/nerf_slam_tpu_trace"):
+    """JAX profiler trace around a block (tensorboard-compatible)."""
+    import jax
+    jax.profiler.start_trace(logdir)
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        print(f"trace written to {logdir} ({time.perf_counter()-t0:.2f}s)")

@@ -1,0 +1,35 @@
+"""Convert any supported dataset to the transforms.json (nerf) format.
+
+Equivalent of /root/reference/scripts/replica_to_nerf_dataset.py.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset_name", default="replica")
+    ap.add_argument("--dataset_dir", default=None)
+    ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--img_stride", type=int, default=1)
+    ap.add_argument("--n_frames", type=int, default=40,
+                    help="synthetic only")
+    args = ap.parse_args()
+
+    from nerf_slam_tpu.datasets import build_dataset
+    from nerf_slam_tpu.datasets.nerf_dataset import export_nerf_format
+
+    ds = build_dataset(args.dataset_name, args.dataset_dir,
+                       img_stride=args.img_stride, n_frames=args.n_frames)
+    out = export_nerf_format(ds, args.out_dir)
+    print(f"exported {len(ds)} frames to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -73,3 +73,20 @@ def test_graph_state_is_consistent(small_frontend):
     assert (g.ii != g.jj).all()
     # ages aligned
     assert g.age.shape == g.ii.shape
+
+
+def test_global_ba_runs(small_frontend):
+    """Global BA (terminate path) on the already-tracked sequence."""
+    fe = small_frontend
+    import jax.numpy as jnp
+    # perturb the scale so normalize() has visible work to do
+    fe.state = fe.state._replace(idepths=fe.state.idepths * 2.0)
+    fe.global_ba(steps=1, chunk=8, thresh=1e6)  # accept all edges
+    poses_after = np.asarray(fe.state.cam_T_world)
+    disps_after = np.asarray(fe.state.idepths)
+    assert np.isfinite(poses_after).all()
+    assert np.isfinite(disps_after).all()
+    # normalize() rescales mean inverse depth back toward 1
+    kf = fe.kf_idx
+    mean_idepth = disps_after[:kf + 1].mean()
+    assert 0.5 < mean_idepth < 1.5, mean_idepth
