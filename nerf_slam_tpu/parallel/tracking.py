@@ -79,7 +79,17 @@ def make_sharded_dba_step(mesh: Mesh, ep: float = 0.1, lm: float = 1e-4):
         disps = disps.at[plan.kx].set(dnew)
         return poses, disps
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def run(poses, disps, intrinsics, targets, weights, eta, disps_sens,
+            plan):
+        # the interaction list spans all edges and cannot shard by edge;
+        # the sharded path uses the dense Schur contraction
+        plan = plan._replace(pair_a=None, pair_b=None, pair_valid=None)
+        return jitted(poses, disps, intrinsics, targets, weights, eta,
+                      disps_sens, plan)
+
+    return run
 
 
 def dryrun(n_devices: int) -> float:

@@ -143,6 +143,11 @@ class RaftVisualFrontend:
             flow=jnp.zeros((cfg.e_inactive, self.h, self.w, 2)),
             flow_weight=jnp.zeros((cfg.e_inactive, self.h, self.w, 2)))
         self.viz_idx = np.zeros(cfg.buffer, dtype=bool)
+        # Schur interaction-list padding (shape-stable jits; compute_pairs
+        # grows to the next power of two if a dense window exceeds it)
+        self._pair_pad = max(
+            2048, int(2 ** np.ceil(np.log2(
+                8 * (cfg.e_active + cfg.e_inactive)))))
 
         self._jit_cache: Dict[Any, Any] = {}
 
@@ -366,7 +371,8 @@ class RaftVisualFrontend:
                                            sens_k)
         if cfg.compute_covariances:
             _, _, L, Q = dba.solve_system(Hd, vd, Ehat, C, wv, plan,
-                                          cfg.ep, cfg.lm)
+                                          cfg.ep, cfg.lm,
+                                          E_blocks=blocks[2])
             pose_cov_p, z_cov = dba.covariances(L, Ehat, Q, plan)
             z_cov = z_cov.reshape(K, h, w)
         else:
@@ -641,6 +647,11 @@ class RaftVisualFrontend:
         kx[:kf_ids.shape[0]] = kf_ids
         k_valid = np.zeros(K, np.float32)
         k_valid[:kf_ids.shape[0]] = 1.0
+        # interaction list for the sparse Schur assembly; padded to a
+        # fixed size per (e_active+e_inactive) config so jits are stable
+        pa, pb, pv = dba.compute_pairs(
+            pi.astype(np.int32), pj.astype(np.int32), kk,
+            np.asarray(valid_all, bool), pad_to=self._pair_pad)
         return dba.DBAPlan(
             ii=jnp.asarray(np.where(valid_all, ii_all, 0).astype(np.int32)),
             jj=jnp.asarray(np.where(valid_all, jj_all, 0).astype(np.int32)),
@@ -652,7 +663,10 @@ class RaftVisualFrontend:
             p_valid=jnp.asarray(p_valid),
             p_fixed=jnp.asarray(p_fixed),
             kx=jnp.asarray(kx),
-            k_valid=jnp.asarray(k_valid))
+            k_valid=jnp.asarray(k_valid),
+            pair_a=jnp.asarray(pa),
+            pair_b=jnp.asarray(pb),
+            pair_valid=jnp.asarray(pv))
 
     # keyframe-level ops ------------------------------------------------
     def distance(self, ii, jj) -> np.ndarray:

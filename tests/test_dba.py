@@ -128,3 +128,36 @@ def test_dba_window_fixes_out_of_window_poses():
     np.testing.assert_allclose(res.poses[:kf0], poses[:kf0], atol=1e-7)
     err = se3.log(se3.mul(res.poses, se3.inv(poses_gt)))
     assert float(jnp.abs(err[kf0:]).max()) < 5e-3, err
+
+
+def test_sparse_schur_matches_dense():
+    """The interaction-list Schur assembly must equal the dense path."""
+    poses_gt, disps_gt, intr, ii, jj, target, weight = make_problem(
+        jax.random.PRNGKey(7))
+    n, h, w = disps_gt.shape
+    plan_sparse = dba.plan(ii, jj, kf0=1, kf1=n, E=32, P=n, K=n)
+    plan_dense = plan_sparse._replace(pair_a=None, pair_b=None,
+                                      pair_valid=None)
+    tpad = jnp.zeros((32, h, w, 2)).at[:ii.shape[0]].set(target)
+    wpad = jnp.zeros((32, h, w, 2)).at[:ii.shape[0]].set(weight)
+    noise = 0.02 * jax.random.normal(jax.random.PRNGKey(8), (n, 6))
+    poses = se3.retr(poses_gt, noise).astype(jnp.float32)
+    disps = disps_gt
+    eta = 1e-4 * jnp.ones((n, h, w), dtype=jnp.float32)
+    sens = jnp.zeros((n, h, w), dtype=jnp.float32)
+
+    r_s = dba.dba_iterations(poses, disps, intr, tpad, wpad, eta, sens,
+                             plan_sparse, iters=2, ep=0.05, lm=1e-4)
+    r_d = dba.dba_iterations(poses, disps, intr, tpad, wpad, eta, sens,
+                             plan_dense, iters=2, ep=0.05, lm=1e-4)
+    np.testing.assert_allclose(np.asarray(r_s.poses),
+                               np.asarray(r_d.poses), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_s.disps),
+                               np.asarray(r_d.disps), atol=1e-4)
+    # fp32 summation-order differences only
+    np.testing.assert_allclose(np.asarray(r_s.pose_cov),
+                               np.asarray(r_d.pose_cov), rtol=1e-2,
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(r_s.z_cov),
+                               np.asarray(r_d.z_cov), rtol=1e-3,
+                               atol=1e-6)
