@@ -20,7 +20,8 @@ def parse_args(argv=None):
     p.add_argument("--dataset_dir", type=str, default=None,
                    help="path to dataset (None -> synthetic room)")
     p.add_argument("--dataset_name", type=str, default="synthetic",
-                   choices=["synthetic", "nerf", "replica", "tum", "euroc"])
+                   choices=["synthetic", "nerf", "replica", "tum",
+                            "euroc", "realsense"])
     p.add_argument("--buffer", type=int, default=32,
                    help="max keyframes")
     p.add_argument("--img_stride", type=int, default=1)
@@ -40,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--width", type=int, default=160)
     p.add_argument("--n_frames", type=int, default=40)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--global_ba", action="store_true",
+                   help="run global bundle adjustment at termination")
+    p.add_argument("--profile", action="store_true",
+                   help="write a JAX profiler trace around the run")
     return p.parse_args(argv)
 
 
@@ -72,7 +77,8 @@ def build_frontend(args, image_size):
               "(tracking quality will be poor)")
     cfg = FrontendConfig(buffer=args.buffer,
                          p_window=min(args.buffer, 32),
-                         k_depth=min(args.buffer + 8, 40))
+                         k_depth=min(args.buffer + 8, 40),
+                         global_ba=getattr(args, "global_ba", False))
     return RaftVisualFrontend(params, cfg, image_size)
 
 
@@ -117,7 +123,14 @@ def run(args) -> dict:
         modules.insert(2, fusion_m)
 
     t0 = time.time()
-    if args.parallel_run:
+    if getattr(args, "profile", False):
+        from ..utils.runtime import profile_trace
+        with profile_trace():
+            if args.parallel_run:
+                run_parallel(modules, timeout_s=3600.0)
+            else:
+                run_sequential(modules)
+    elif args.parallel_run:
         run_parallel(modules, timeout_s=3600.0)
     else:
         run_sequential(modules)
@@ -135,7 +148,8 @@ def run(args) -> dict:
 
     if args.eval and fusion is not None and sink.last_full is not None:
         pkt = sink.last_full
-        n = min(4, len(np.asarray(pkt["gt_poses"])))
+        n = min(4, int(pkt.get("viz_count",
+                               len(np.asarray(pkt["gt_poses"])))))
         gt_imgs = np.asarray(pkt["cam0_images"])[:n]
         gt_depths = np.asarray(pkt["gt_depths"])[:n]
         c2ws = np.asarray(pkt["gt_poses"])[:n]

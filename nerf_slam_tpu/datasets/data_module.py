@@ -22,4 +22,7 @@ def build_dataset(dataset_name: str, dataset_dir: str = None, **kw):
     if dataset_name == "euroc":
         from .euroc_dataset import EurocDataset
         return EurocDataset(dataset_dir, **loader_kw)
+    if dataset_name == "realsense":
+        from .realsense_dataset import RealSenseDataset
+        return RealSenseDataset(buffer=kw.get("buffer", 512))
     raise ValueError(f"unknown dataset '{dataset_name}'")
