@@ -77,7 +77,8 @@ class NerfFusion:
         self.cfg = cfg
         key = jax.random.PRNGKey(seed)
         self.params, self.field = init_ngp(key, cfg.ngp)
-        self.opt = optax.adam(cfg.ngp.lr, b1=0.9, b2=0.99, eps=1e-15)
+        lr = cfg.ngp.pe_lr if cfg.ngp.encoding == "pe" else cfg.ngp.lr
+        self.opt = optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
         self.opt_state = self.opt.init(self.params)
         self.key = jax.random.PRNGKey(seed + 1)
         self.iteration = 0

@@ -26,8 +26,16 @@ from .hashgrid import HashGridConfig, encode, init_table, sh_encode_deg4
 
 
 class NGPConfig(NamedTuple):
+    # position encoding: "pe" (frequency encoding + wide MLP; pure MXU,
+    # the TPU-native default -- hash gathers/scatters run at ~6/90 ns per
+    # row on TPU, making instant-ngp's table GPU-shaped) or "hash"
+    # (instant-ngp multires hash grid).
+    encoding: str = "pe"
     grid: HashGridConfig = HashGridConfig()
-    hidden: int = 64
+    pe_degrees: int = 10            # frequency bands for "pe"
+    hidden: int = 64                # density-MLP width for "hash"
+    pe_hidden: int = 256            # MLP width for "pe"
+    pe_depth: int = 4               # hidden layers for "pe"
     geo_features: int = 15          # density MLP extra outputs
     n_uniform: int = 96             # stratified samples / ray
     n_depth: int = 32               # depth-guided samples / ray
@@ -37,7 +45,54 @@ class NGPConfig(NamedTuple):
     rgb_weight: float = 1.0
     depth_weight: float = 0.5
     lr: float = 1e-2
+    pe_lr: float = 5e-4
     density_activation: str = "exp"  # exp (instant-ngp) | softplus
+
+
+def positional_encoding(x: jax.Array, degrees: int) -> jax.Array:
+    """NeRF frequency encoding on [0,1]^3 positions -> (..., 6*degrees)."""
+    x = 2.0 * x - 1.0
+    freqs = (2.0 ** jnp.arange(degrees)) * jnp.pi
+    xb = x[..., None, :] * freqs[:, None]           # (..., deg, 3)
+    enc = jnp.concatenate([jnp.sin(xb), jnp.cos(xb)], axis=-1)
+    return enc.reshape(x.shape[:-1] + (6 * degrees,))
+
+
+class PEField(nn.Module):
+    """Frequency-encoded MLP radiance field (the MXU-native backbone):
+    no table gathers anywhere; with 1/sigma^2 depth supervision it
+    converges in a few thousand steps (DS-NeRF regime), which suits
+    online SLAM mapping."""
+    cfg: NGPConfig
+
+    @nn.compact
+    def __call__(self, pos: jax.Array, dirs: jax.Array):
+        """pos: (N, 3) in [0,1]^3; dirs: (N, 3) unit.
+        Returns (sigma (N,), rgb (N, 3))."""
+        cfg = self.cfg
+        h = positional_encoding(pos, cfg.pe_degrees).astype(jnp.bfloat16)
+        skip = h
+        for i in range(cfg.pe_depth):
+            h = nn.Dense(cfg.pe_hidden, dtype=jnp.bfloat16,
+                         name=f"trunk_{i}")(h)
+            h = nn.relu(h)
+            if i == cfg.pe_depth // 2 - 1:
+                h = jnp.concatenate([h, skip], axis=-1)
+        raw = nn.Dense(1 + cfg.geo_features, dtype=jnp.bfloat16,
+                       name="density_out")(h)
+        raw_sigma = raw[..., 0].astype(jnp.float32)
+        if cfg.density_activation == "exp":
+            sigma = jnp.exp(jnp.clip(raw_sigma, -15.0, 12.0))
+        else:
+            sigma = jax.nn.softplus(raw_sigma)
+        geo = raw[..., 1:]
+        sh = sh_encode_deg4(dirs).astype(jnp.bfloat16)
+        c = jnp.concatenate([geo, sh], axis=-1)
+        c = nn.relu(nn.Dense(cfg.hidden, dtype=jnp.bfloat16,
+                             name="rgb_0")(c))
+        c = nn.Dense(3, dtype=jnp.bfloat16, name="rgb_1")(c)
+        rgb = jax.nn.sigmoid(c.astype(jnp.float32))
+        return sigma, rgb
 
 
 class NGPField(nn.Module):
@@ -76,21 +131,31 @@ class NGPParams(NamedTuple):
     mlp: dict             # flax params
 
 
-def init_ngp(key: jax.Array, cfg: NGPConfig) -> Tuple[NGPParams, NGPField]:
+def init_ngp(key: jax.Array, cfg: NGPConfig):
     k1, k2 = jax.random.split(key)
-    field = NGPField(cfg)
-    mlp = field.init(k1, jnp.zeros((8, cfg.grid.out_dim)),
-                     jnp.ones((8, 3)) / np.sqrt(3.0))
-    table = init_table(k2, cfg.grid)
+    if cfg.encoding == "pe":
+        field = PEField(cfg)
+        mlp = field.init(k1, jnp.full((8, 3), 0.5),
+                         jnp.ones((8, 3)) / np.sqrt(3.0))
+        table = jnp.zeros((1, 1, 1), jnp.float32)   # placeholder
+    else:
+        field = NGPField(cfg)
+        mlp = field.init(k1, jnp.zeros((8, cfg.grid.out_dim)),
+                         jnp.ones((8, 3)) / np.sqrt(3.0))
+        table = init_table(k2, cfg.grid)
     return NGPParams(table=table, mlp=mlp), field
 
 
-def query(params: NGPParams, field: NGPField, cfg: NGPConfig,
+def query(params: NGPParams, field, cfg: NGPConfig,
           pos: jax.Array, dirs: jax.Array):
     """pos: (..., 3) in [0,1]^3, dirs: (..., 3) -> (sigma, rgb)."""
     lead = pos.shape[:-1]
-    feat = encode(params.table, pos.reshape(-1, 3), cfg.grid)
-    sigma, rgb = field.apply(params.mlp, feat, dirs.reshape(-1, 3))
+    if cfg.encoding == "pe":
+        sigma, rgb = field.apply(params.mlp, pos.reshape(-1, 3),
+                                 dirs.reshape(-1, 3))
+    else:
+        feat = encode(params.table, pos.reshape(-1, 3), cfg.grid)
+        sigma, rgb = field.apply(params.mlp, feat, dirs.reshape(-1, 3))
     return sigma.reshape(lead), rgb.reshape(lead + (3,))
 
 

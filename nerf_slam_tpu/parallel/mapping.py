@@ -74,7 +74,7 @@ def dryrun(n_devices: int) -> float:
     devs = jax.devices()[:n_devices]
     mesh = Mesh(np.array(devs), ("data",))
 
-    cfg = NGPConfig(n_uniform=8, n_depth=4)._replace(
+    cfg = NGPConfig(n_uniform=8, n_depth=4, encoding="hash")._replace(
         grid=__import__("nerf_slam_tpu.fusion.hashgrid",
                         fromlist=["HashGridConfig"]).HashGridConfig(
             n_levels=2, log2_table_size=8, base_resolution=4,

@@ -26,7 +26,7 @@ def test_nerf_checkpoint_roundtrip(tmp_path):
     from nerf_slam_tpu.fusion.hashgrid import HashGridConfig
     cfg = NerfFusionConfig(
         buffer=2, height=16, width=16, batch_rays=64,
-        ngp=NGPConfig(n_uniform=8, n_depth=4,
+        ngp=NGPConfig(n_uniform=8, n_depth=4, encoding="hash",
                       grid=HashGridConfig(n_levels=2, log2_table_size=8,
                                           base_resolution=4,
                                           finest_resolution=8)))

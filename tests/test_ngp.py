@@ -48,7 +48,7 @@ def test_nerf_fit_synthetic_views():
     """Fit a few posed RGB-D views of the synthetic room; PSNR must climb
     well above the initial render and depth-L1 must shrink."""
     ds = SyntheticDataset(SyntheticConfig(n_frames=8, height=60, width=80))
-    ngp = NGPConfig(n_uniform=48, n_depth=16,
+    ngp = NGPConfig(n_uniform=48, n_depth=16, encoding="hash",
                     grid=__import__("nerf_slam_tpu.fusion.hashgrid",
                                     fromlist=["HashGridConfig"]
                                     ).HashGridConfig(
