@@ -271,3 +271,27 @@ class TsdfFusion:
         cols = np.asarray(self.volume.color)[idx[:, 0], idx[:, 1],
                                              idx[:, 2]]
         return pts, cols
+
+    def extract_mesh(self, weight_thresh: float = 1.0):
+        """Marching-tetrahedra surface of the fused TSDF (the reference's
+        extract_mesh with weight threshold, tsdf_fusion.py:556-573).
+        Returns (vertices (V,3) world, faces (F,3), colors (V,3))."""
+        from .mesher import marching_tetrahedra
+        t = np.asarray(self.volume.tsdf)
+        w = np.asarray(self.volume.weight)
+        verts, faces = marching_tetrahedra(
+            t, mask=w > weight_thresh,
+            origin=np.asarray(self.cfg.volume_origin) +
+            0.5 * self.cfg.voxel_size,
+            voxel_size=self.cfg.voxel_size)
+        # nearest-voxel colors
+        if verts.shape[0]:
+            g = (verts - np.asarray(self.cfg.volume_origin)) \
+                / self.cfg.voxel_size - 0.5
+            gi = np.clip(np.round(g).astype(int), 0,
+                         self.cfg.grid_size - 1)
+            colors = np.asarray(self.volume.color)[
+                gi[:, 0], gi[:, 1], gi[:, 2]]
+        else:
+            colors = np.zeros((0, 3))
+        return verts, faces, colors

@@ -85,3 +85,41 @@ def test_tsdf_fuse_packet():
     assert not fu.fuse(packet)
     assert float(np.asarray(fu.volume.weight).max()) > 0
     assert fu.fuse({"is_last_frame": True})
+
+
+def test_marching_tetrahedra_sphere():
+    from nerf_slam_tpu.fusion.mesher import marching_tetrahedra
+    n = 32
+    g = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    sdf = np.sqrt(X**2 + Y**2 + Z**2) - 0.6
+    verts, faces = marching_tetrahedra(sdf, origin=(-1, -1, -1),
+                                       voxel_size=2 / (n - 1))
+    assert verts.shape[0] > 500
+    r = np.linalg.norm(verts, axis=1)
+    # all vertices lie on the isosurface to within a voxel
+    assert np.abs(r - 0.6).max() < 2.5 * 2 / (n - 1), np.abs(r - 0.6).max()
+    assert np.abs(r - 0.6).mean() < 0.01
+
+
+def test_tsdf_extract_mesh():
+    ds = SyntheticDataset(SyntheticConfig(n_frames=6, height=48, width=64))
+    fu = make_fusion()
+    for k in range(6):
+        p = ds[k]
+        fu.integrate_frame(np.linalg.inv(p["poses"]), p["intrinsics"],
+                           p["depths"], 0.001 * np.ones_like(p["depths"]),
+                           p["images"])
+    verts, faces, colors = fu.extract_mesh(weight_thresh=0.5)
+    assert verts.shape[0] > 100
+    assert faces.shape[0] == verts.shape[0] // 3
+    assert colors.shape == verts.shape
+    # mesh points must lie inside the room bounds
+    assert verts.min() > -3.0 and verts.max() < 4.0
+
+    from nerf_slam_tpu.fusion.mesher import write_obj
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mesh.obj")
+        write_obj(path, verts[:30], faces[:10], colors[:30])
+        assert os.path.getsize(path) > 100
