@@ -92,6 +92,7 @@ class NerfFusion:
             intrinsics=jnp.ones((N, 4), jnp.float32),
             valid=jnp.zeros((N,), jnp.float32))
         self.results = []   # eval rows (iteration, psnr, depth_l1_cm)
+        self.has_data = False  # host-side flag (avoids device syncs)
 
     # ------------------------------------------------------------------
     # data ingestion
@@ -128,10 +129,18 @@ class NerfFusion:
             intrinsics=ts.intrinsics.at[ids].set(
                 jnp.asarray(intrinsics, jnp.float32)),
             valid=ts.valid.at[ids].set(1.0))
+        self.has_data = True
 
     def fuse(self, packet: Optional[Dict[str, Any]]) -> bool:
         """Consume one SLAM viz packet (process_slam equivalent).
-        Returns True when the packet signals end-of-sequence."""
+        Returns True when the packet signals end-of-sequence.
+
+        Runs entirely on device: the reference bounces packets through
+        the CPU ("cpu-transfer, which is super slow",
+        visual_frontend.py:1355-1360) -- here the padded device arrays
+        flow straight into the (device-resident) training set.  Padded
+        duplicate rows scatter the same data twice -- harmless.
+        """
         if packet is None:
             return False
         if packet.get("is_last_frame") and "viz_idx" not in packet:
@@ -139,35 +148,37 @@ class NerfFusion:
 
         cfg = self.cfg
         ids = np.asarray(packet["viz_idx"])
-        n = int(packet.get("viz_count", ids.shape[0]))
-        ids = ids[:n]
-        poses7 = np.asarray(packet["cam0_poses"])[:n]  # cam_T_world 7-vec
-        from ..geometry import se3
-        w2c = se3.matrix(jnp.asarray(poses7))
-        c2w = np.linalg.inv(np.asarray(w2c))
+        V = packet["cam0_poses"].shape[0]
+        if ids.shape[0] < V:   # re-pad ids to the padded array size
+            ids = np.concatenate(
+                [ids, np.full(V - ids.shape[0], ids[-1], ids.dtype)])
 
-        images = np.asarray(packet["cam0_images"])[:n]  # (n, H, W, 3) u8
-        idepths_up = np.asarray(packet["cam0_idepths_up"])[:n].copy()
-        depths_cov_up = np.asarray(packet["cam0_depths_cov_up"])[:n].copy()
+        from ..geometry import se3
+        poses7 = jnp.asarray(packet["cam0_poses"])     # cam_T_world 7-vec
+        c2w = se3.matrix(se3.inv(poses7))
+
+        images = packet["cam0_images"]                 # (V, H, W, 3) u8
+        idepths_up = jnp.asarray(packet["cam0_idepths_up"])
+        depths_cov_up = jnp.asarray(packet["cam0_depths_cov_up"])
 
         # uncertainty masking (reference :173-183)
         if cfg.mask_type == "ours":
             pass
         elif cfg.mask_type == "raw":
-            depths_cov_up[...] = 1.0
+            depths_cov_up = jnp.ones_like(depths_cov_up)
         elif cfg.mask_type == "ours_w_thresh":
-            sig = np.sqrt(np.maximum(depths_cov_up, 0))
-            thr = np.quantile(sig, 0.5)
-            idepths_up[sig > thr] = -1.0
+            sig = jnp.sqrt(jnp.maximum(depths_cov_up, 0))
+            thr = jnp.quantile(sig, 0.5)
+            idepths_up = jnp.where(sig > thr, -1.0, idepths_up)
         elif cfg.mask_type == "no_depth":
-            idepths_up[...] = -1.0
+            idepths_up = -jnp.ones_like(idepths_up)
         else:
             raise NotImplementedError(cfg.mask_type)
 
-        with np.errstate(divide="ignore"):
-            depths = np.where(idepths_up > 1e-6, 1.0 / idepths_up, -1.0)
+        depths = jnp.where(idepths_up > 1e-6,
+                           1.0 / jnp.maximum(idepths_up, 1e-6), -1.0)
 
-        intr = np.asarray(packet["cam0_intrinsics"])[:n] * 8.0  # full-res
+        intr = jnp.asarray(packet["cam0_intrinsics"]) * 8.0  # full-res
         self.update_training_images(ids, c2w, images, depths,
                                     depths_cov_up, intr)
         return bool(packet.get("is_last_frame", False))
@@ -225,9 +236,12 @@ class NerfFusion:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, l_rgb, l_d
 
-    def fit_volume(self, iters: Optional[int] = None) -> float:
+    def fit_volume(self, iters: Optional[int] = None):
+        """Run training iterations; returns the last loss as a DEVICE
+        scalar (fetching it forces a sync -- callers that only train
+        should not convert)."""
         iters = iters or self.cfg.iters_per_spin
-        if float(self.train_set.valid.sum()) == 0:
+        if not self.has_data:
             return 0.0
         loss = 0.0
         for _ in range(iters):
@@ -235,7 +249,7 @@ class NerfFusion:
             self.params, self.opt_state, loss, _, _ = self._train_step(
                 self.params, self.opt_state, self.train_set, sub)
             self.iteration += 1
-        return float(loss)
+        return loss
 
     # ------------------------------------------------------------------
     # rendering / eval
