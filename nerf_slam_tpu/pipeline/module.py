@@ -76,11 +76,21 @@ class PipelineModule(ABC):
             out[name] = pkt
         return out if got_any else None
 
-    def push_output_packet(self, packet: Any):
+    def push_output_packet(self, packet: Any, max_wait_s: float = 10.0):
+        """Push to all consumers; a consumer that stopped draining (e.g.
+        SLAM terminated at buffer-full while the source keeps producing)
+        must not deadlock the producer -- drop after a bounded wait."""
         if packet is None:
             return
         for q in self.output_queues:
-            q.put(packet)
+            deadline = time.time() + max_wait_s
+            while True:
+                try:
+                    q.put(packet, timeout=0.25)
+                    break
+                except queue.Full:
+                    if time.time() > deadline:
+                        break  # consumer gone: drop
         for cb in self.output_callbacks:
             cb(packet)
 

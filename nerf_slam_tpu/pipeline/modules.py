@@ -69,16 +69,22 @@ class FusionModule(PipelineModule):
 
     def __init__(self, fusion, mode: str = "nerf",
                  parallel_run: bool = True, iters_per_spin: int = 10,
-                 extra_spins_after_done: int = 50):
+                 extra_spins_after_done: int = 50,
+                 idle_sleep_s: float = 0.05):
         super().__init__("fusion", parallel_run, input_timeout=1e-3)
         self.fusion = fusion
         self.mode = mode
         self.iters_per_spin = iters_per_spin
         self.extra_spins_after_done = extra_spins_after_done
+        # single-chip scheduling: the reference gives mapping its own GPU
+        # (slam_demo.py:63-67); sharing one chip, an unthrottled mapping
+        # busy-loop starves the tracking stream, so idle spins yield
+        self.idle_sleep_s = idle_sleep_s
         self.done = False
         self._spins_since_done = 0
 
     def spin_once(self, packet):
+        import time as _time
         pkt = None
         if packet is not None:
             pkt = packet.get("slam") if isinstance(packet, dict) else packet
@@ -86,6 +92,9 @@ class FusionModule(PipelineModule):
             self.done = self.fusion.fuse(pkt) or self.done
         if self.mode == "nerf":
             self.fusion.fit_volume(self.iters_per_spin)
+            if pkt is None and not self.done and self.parallel_run \
+                    and self.idle_sleep_s > 0:
+                _time.sleep(self.idle_sleep_s)
         if self.done:
             self._spins_since_done += 1
             if (self.mode != "nerf"
