@@ -776,8 +776,11 @@ class RaftVisualFrontend:
         out = self.get_viz_out(batch)
 
         if self.kf_idx + 1 >= cfg.buffer or batch.get("is_last_frame"):
+            # buffer-full ends the sequence for every downstream consumer
             self.terminate()
-            return self.get_viz_out(batch) or out
+            final = dict(batch)
+            final["is_last_frame"] = True
+            return self.get_viz_out(final) or out
 
         self.kf_idx += 1
         return out
