@@ -53,6 +53,83 @@ def build_pyramid(volume: jax.Array, num_levels: int = 4):
     return pyramid
 
 
+def lookup_level_blocks(volume: jax.Array, coords: jax.Array,
+                        radius: int = 3) -> jax.Array:
+    """Windowed lookup via aligned 8-wide block gathers.
+
+    TPU gathers cost ~6 ns per *row* regardless of row width (measured),
+    so the naive one-float-per-tap formulation (64 rows/pixel/level) is
+    gather-bound.  Here each (pixel, y-tap) fetches two aligned 8-float
+    blocks covering the x-span -- 16 rows/pixel/level, 4x fewer rows.
+
+    Same semantics as :func:`lookup_level`.
+    """
+    E, H1, W1, H2, W2 = volume.shape
+    r = radius
+    rd = 2 * r + 1
+    n_sup = rd + 1          # 8 taps per axis
+
+    x0 = coords[..., 0]
+    y0 = coords[..., 1]
+    fx = jnp.floor(x0)
+    fy = jnp.floor(y0)
+    dx = (x0 - fx)[..., None]
+    dy = (y0 - fy)[..., None]
+
+    # pad W2 to a multiple of 8 plus one spare block, H2 by n_sup, and
+    # shift so negative starts stay in range
+    Wb_pad = ((W2 + 8 + 2 * 8 - 1) // 8 + 1) * 8
+    volp = jnp.pad(volume,
+                   ((0, 0), (0, 0), (0, 0),
+                    (n_sup, n_sup),
+                    (8, Wb_pad - W2 - 8)))
+    H2p = H2 + 2 * n_sup
+    Wb = volp.shape[-1] // 8
+    vflat = volp.reshape(E, H1, W1, H2p * Wb, 8)
+
+    xi = fx.astype(jnp.int32) - r + 8        # shifted x start
+    yi = fy.astype(jnp.int32) - r + n_sup    # shifted y start
+    xi = jnp.clip(xi, 0, Wb * 8 - 16)
+    yi = jnp.clip(yi, 0, H2p - n_sup)
+    b0 = xi // 8                              # first aligned block
+    sh = xi - b0 * 8                          # within-block offset (0..7)
+
+    taps = jnp.arange(n_sup, dtype=jnp.int32)
+    yrow = (yi[..., None] + taps) * Wb        # (E,H1,W1,8)
+    idx = jnp.stack([yrow + b0[..., None], yrow + b0[..., None] + 1],
+                    axis=-1).reshape(E, H1, W1, 2 * n_sup)
+    blocks = jnp.take_along_axis(vflat, idx[..., None], axis=3)
+    blocks = blocks.reshape(E, H1, W1, n_sup, 16)      # per y-tap, 16 x
+
+    # extract the 8-wide span starting at sh (0..7) from the 16 values
+    # via a dense one-hot contraction (vector selects, no gathers)
+    k16 = jnp.arange(16, dtype=jnp.int32)
+    shift = (k16[None, None, None, :, None]
+             == (sh[..., None, None] + jnp.arange(n_sup)[None, None, None,
+                                                         None, :])
+             ).astype(blocks.dtype)                  # (E,H1,W1,16,8)
+    S = jnp.einsum("ehwyk,ehwkx->ehwyx", blocks, shift)
+    # S: (E, H1, W1, y_tap(8), x_tap(8))
+
+    # validity of each tap (original unpadded bounds)
+    xs = (xi - 8)[..., None] + jnp.arange(n_sup)
+    ys = (yi - n_sup)[..., None] + jnp.arange(n_sup)
+    in_x = (xs >= 0) & (xs < W2)
+    in_y = (ys >= 0) & (ys < H2)
+    S = S * (in_y[..., :, None] & in_x[..., None, :]).astype(S.dtype)
+
+    w00 = (1 - dx) * (1 - dy)
+    w10 = dx * (1 - dy)
+    w01 = (1 - dx) * dy
+    w11 = dx * dy
+    out = (w00[..., None] * S[..., :rd, :rd]
+           + w10[..., None] * S[..., :rd, 1:]
+           + w01[..., None] * S[..., 1:, :rd]
+           + w11[..., None] * S[..., 1:, 1:])
+    out = jnp.transpose(out, (0, 4, 3, 1, 2))
+    return out.reshape(E, rd * rd, H1, W1)
+
+
 def lookup_level(volume: jax.Array, coords: jax.Array,
                  radius: int = 3) -> jax.Array:
     """Sample a (2r+1)^2 window from one pyramid level.

@@ -51,13 +51,15 @@ class SlamModule(PipelineModule):
         self.frontend = frontend
 
     def spin_once(self, packet):
+        from ..utils.runtime import DEVICE_LOCK
         if packet is None:
             return None
         if isinstance(packet, dict) and "data" in packet:
             packet = packet["data"]
         if packet is None:
             return None
-        out = self.frontend(packet["k"], packet)
+        with DEVICE_LOCK:
+            out = self.frontend(packet["k"], packet)
         if self.frontend.stop_condition():
             self.shutdown_module()
         return out
@@ -85,13 +87,15 @@ class FusionModule(PipelineModule):
 
     def spin_once(self, packet):
         import time as _time
+        from ..utils.runtime import DEVICE_LOCK
         pkt = None
         if packet is not None:
             pkt = packet.get("slam") if isinstance(packet, dict) else packet
-        if pkt is not None:
-            self.done = self.fusion.fuse(pkt) or self.done
-        if self.mode == "nerf":
-            self.fusion.fit_volume(self.iters_per_spin)
+        with DEVICE_LOCK:
+            if pkt is not None:
+                self.done = self.fusion.fuse(pkt) or self.done
+            if self.mode == "nerf":
+                self.fusion.fit_volume(self.iters_per_spin)
             if pkt is None and not self.done and self.parallel_run \
                     and self.idle_sleep_s > 0:
                 _time.sleep(self.idle_sleep_s)

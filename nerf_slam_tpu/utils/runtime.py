@@ -37,3 +37,17 @@ def profile_trace(logdir: str = "/tmp/nerf_slam_tpu_trace"):
     finally:
         jax.profiler.stop_trace()
         print(f"trace written to {logdir} ({time.perf_counter()-t0:.2f}s)")
+
+
+# ---------------------------------------------------------------------------
+# Device dispatch serialization.
+#
+# The remote-TPU (axon) client deadlocks when multiple host threads
+# dispatch/sync concurrently (reproduced with two threads running tiny
+# jits).  All pipeline stages that touch the device take this lock at
+# spin granularity; on a single chip device work serializes anyway, so
+# the throughput cost is limited to lost host/device overlap.
+# ---------------------------------------------------------------------------
+import threading
+
+DEVICE_LOCK = threading.RLock()
