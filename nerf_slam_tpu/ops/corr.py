@@ -207,7 +207,8 @@ class CorrPyramid:
         Returns (E, L*(2r+1)^2, H1, W1)."""
         outs = []
         for lvl, vol in enumerate(self.levels):
-            outs.append(lookup_level(vol, coords / (2 ** lvl), self.radius))
+            outs.append(lookup_level_blocks(vol, coords / (2 ** lvl),
+                                            self.radius))
         return jnp.concatenate(outs, axis=1)
 
     def cat(self, other: "CorrPyramid") -> "CorrPyramid":
