@@ -53,6 +53,81 @@ def build_pyramid(volume: jax.Array, num_levels: int = 4):
     return pyramid
 
 
+def lookup_level_patch(volume: jax.Array, coords: jax.Array,
+                       radius: int = 3) -> jax.Array:
+    """Windowed lookup via one (8 x 16) patch gather per pixel.
+
+    The whole (y-taps x x-span) support patch is fetched as a single
+    gather slice (lax.gather slice_sizes=(1, 8, 16)): ~650k gather rows
+    per level at frontend sizes instead of 13.9M one-float taps --
+    gathers on TPU cost ~6 ns per row regardless of width.
+
+    Same semantics as :func:`lookup_level` (oracle-tested).
+    """
+    E, H1, W1, H2, W2 = volume.shape
+    r = radius
+    rd = 2 * r + 1
+    n_sup = rd + 1
+
+    x0 = coords[..., 0]
+    y0 = coords[..., 1]
+    fx = jnp.floor(x0)
+    fy = jnp.floor(y0)
+    dx = (x0 - fx)[..., None]
+    dy = (y0 - fy)[..., None]
+
+    # pad: y by n_sup on both sides; x by 8 front and >=16 back so every
+    # (8, 16) slice is in range after shifting
+    volp = jnp.pad(volume, ((0, 0), (0, 0), (0, 0),
+                            (n_sup, n_sup), (8, 24)))
+    H2p, W2p = volp.shape[-2:]
+    B = E * H1 * W1
+    op = volp.reshape(B, H2p, W2p)
+
+    xi = jnp.clip(fx.astype(jnp.int32) - r + 8, 0, W2p - 16)
+    yi = jnp.clip(fy.astype(jnp.int32) - r + n_sup, 0, H2p - n_sup)
+    b0 = xi // 8
+    sh = xi - b0 * 8                          # 0..7 within the block pair
+    starts = jnp.stack([yi.reshape(B), (b0 * 8).reshape(B)],
+                       axis=-1)[:, None, :]
+
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3), collapsed_slice_dims=(),
+        start_index_map=(1, 2), operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,))
+    blocks = jax.lax.gather(op, starts, dn, slice_sizes=(1, 8, 16),
+                            mode="clip")
+    blocks = blocks.reshape(E, H1, W1, n_sup, 16)       # (.., y_tap, 16)
+
+    # extract the 8-wide span starting at sh via a dense one-hot
+    # contraction (vector selects, no gathers)
+    k16 = jnp.arange(16, dtype=jnp.int32)
+    shift = (k16[None, None, None, :, None]
+             == (sh[..., None, None] + jnp.arange(n_sup)[None, None, None,
+                                                         None, :])
+             ).astype(blocks.dtype)
+    S = jnp.einsum("ehwyk,ehwkx->ehwyx", blocks, shift)
+
+    # validity of each tap in original (unpadded) coordinates: the span
+    # starts at padded x = xi, i.e. unpadded x = xi - 8
+    xs = (xi - 8)[..., None] + jnp.arange(n_sup)
+    ys = (yi - n_sup)[..., None] + jnp.arange(n_sup)
+    in_x = (xs >= 0) & (xs < W2)
+    in_y = (ys >= 0) & (ys < H2)
+    S = S * (in_y[..., :, None] & in_x[..., None, :]).astype(S.dtype)
+
+    w00 = (1 - dx) * (1 - dy)
+    w10 = dx * (1 - dy)
+    w01 = (1 - dx) * dy
+    w11 = dx * dy
+    out = (w00[..., None] * S[..., :rd, :rd]
+           + w10[..., None] * S[..., :rd, 1:]
+           + w01[..., None] * S[..., 1:, :rd]
+           + w11[..., None] * S[..., 1:, 1:])
+    out = jnp.transpose(out, (0, 4, 3, 1, 2))
+    return out.reshape(E, rd * rd, H1, W1)
+
+
 def lookup_level_blocks(volume: jax.Array, coords: jax.Array,
                         radius: int = 3) -> jax.Array:
     """Windowed lookup via aligned 8-wide block gathers.
