@@ -198,3 +198,67 @@ def frame_distance_bidirectional(poses, disps, intrinsics, ii, jj,
     d1 = frame_distance(poses, disps, intrinsics, ii, jj, beta)
     d2 = frame_distance(poses, disps, intrinsics, jj, ii, beta)
     return 0.5 * (d1 + d2)
+
+
+def iproj_points(poses, disps, intrinsics):
+    """Back-project inverse depths to world-frame 3D points
+    (iproj_kernel, droid_kernels.cu:896-967 equivalent).
+
+    poses: (N, 7) cam_T_world; returns (N, H, W, 3) world points.
+    """
+    X = iproj(disps, intrinsics)                   # [x, y, 1, d] cam
+    d = jnp.maximum(X[..., 3:4], 1e-8)
+    pts_cam = X[..., :3] / d
+    c2w = se3.inv(poses)
+    return se3.act(c2w[..., None, None, :], pts_cam)
+
+
+def depth_filter(poses, disps, intrinsics, ix, thresh):
+    """Multi-view depth consistency counter
+    (depth_filter_kernel, droid_kernels.cu:773-891).
+
+    For each keyframe in ``ix``, reproject its inverse depths into the 6
+    neighbouring keyframes (ix-3..ix-1, ix+3..ix+5 per the CUDA neighbor
+    schedule jx = ix-n-1 for n<3 else ix+n) and count how many neighbors
+    agree within ``thresh`` (comparing depths at the 4 surrounding
+    pixels, like the kernel).  Returns (len(ix), H, W) counts.
+    """
+    N, H, W = disps.shape
+    ix = jnp.asarray(ix, jnp.int32)
+    thresh = jnp.broadcast_to(jnp.asarray(thresh, disps.dtype),
+                              (ix.shape[0],))
+
+    def one_pair(i_kf, j_kf, t):
+        valid_j = (j_kf >= 0) & (j_kf < N)
+        j_safe = jnp.clip(j_kf, 0, N - 1)
+        Gij = se3.relpose(poses[i_kf], poses[j_safe])
+        X0 = iproj(disps[i_kf], intrinsics[i_kf])
+        X1 = se3.act4(Gij[None, None], X0)
+        fx, fy, cx, cy = intrinsics[j_safe]
+        Z = jnp.where(X1[..., 2] > 0.01, X1[..., 2], 1e6)
+        uj = fx * X1[..., 0] / Z + cx
+        vj = fy * X1[..., 1] / Z + cy
+        dj = X1[..., 3] / Z
+        u0 = jnp.floor(uj).astype(jnp.int32)
+        v0 = jnp.floor(vj).astype(jnp.int32)
+        inb = (u0 >= 0) & (v0 >= 0) & (u0 < W - 1) & (v0 < H - 1) & \
+            (X1[..., 2] > 0.01)
+        u0c = jnp.clip(u0, 0, W - 2)
+        v0c = jnp.clip(v0, 0, H - 2)
+        dmap = disps[j_safe]
+        agree = jnp.zeros(dj.shape, bool)
+        zj = 1.0 / jnp.maximum(dj, 1e-8)
+        for dv in (0, 1):
+            for du in (0, 1):
+                dn = dmap[v0c + dv, u0c + du]
+                agree |= jnp.abs(zj - 1.0 / jnp.maximum(dn, 1e-8)) < t
+        return (agree & inb & valid_j).astype(disps.dtype)
+
+    def one_kf(i_kf, t):
+        count = jnp.zeros((H, W), disps.dtype)
+        for n in range(6):
+            j_kf = jnp.where(n < 3, i_kf - n - 1, i_kf + n)
+            count = count + one_pair(i_kf, j_kf, t)
+        return count
+
+    return jax.vmap(one_kf)(ix, thresh)

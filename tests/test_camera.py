@@ -125,3 +125,39 @@ def test_cvx_upsample_pow_shrinks_weights():
     mask = jnp.zeros((1, 9 * 64, 4, 4))
     up = upsample.cvx_upsample(data, mask, pow=2.0)
     assert float(up.max()) < 1.0
+
+
+def test_depth_filter_counts_consistent_views():
+    # identical poses & depths: every valid neighbor agrees
+    n, h, w = 8, 10, 12
+    poses = se3.identity((n,))
+    disps = 0.7 * jnp.ones((n, h, w))
+    intr = jnp.tile(jnp.array([[15.0, 15.0, 6.0, 5.0]]), (n, 1))
+    counts = camera.depth_filter(poses, disps, intr, jnp.array([4]), 0.1)
+    # keyframe 4 has all 6 neighbors in range (1,2,3 below; 7 above w/ n=3
+    # -> jx in {3,2,1,7,8(INVALID? 4+4=8 OOB), ...})
+    assert counts.shape == (1, h, w)
+    inner = np.asarray(counts)[0, 1:-1, 1:-1]
+    assert inner.max() >= 4
+    # inconsistent depths: zero agreement
+    disps_bad = disps.at[3].set(5.0).at[2].set(5.0).at[1].set(5.0)
+    disps_bad = disps_bad.at[7].set(5.0)
+    counts2 = camera.depth_filter(poses, disps_bad, intr,
+                                  jnp.array([4]), 0.01)
+    assert np.asarray(counts2).max() <= 2
+
+
+def test_iproj_points_roundtrip():
+    n, h, w = 2, 8, 10
+    poses = se3.exp(0.1 * jax.random.normal(jax.random.PRNGKey(0), (n, 6)))
+    disps = 0.5 * jnp.ones((n, h, w))
+    intr = jnp.tile(jnp.array([[12.0, 12.0, 5.0, 4.0]]), (n, 1))
+    pts = camera.iproj_points(poses, disps, intr)
+    assert pts.shape == (n, h, w, 3)
+    # reproject back: should land on the original pixel grid
+    cam = se3.act(poses[:, None, None, :], pts)
+    u = intr[0, 0] * cam[..., 0] / cam[..., 2] + intr[0, 2]
+    v = intr[0, 1] * cam[..., 1] / cam[..., 2] + intr[0, 3]
+    grid = camera.coords_grid(h, w)
+    np.testing.assert_allclose(u, grid[..., 0] + 0 * u, atol=1e-3)
+    np.testing.assert_allclose(v, grid[..., 1] + 0 * v, atol=1e-3)
