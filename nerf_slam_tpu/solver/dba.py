@@ -469,3 +469,52 @@ def dba_iterations(poses, disps, intrinsics, targets, weights, eta,
 
     return DBAResult(poses=poses, disps=disps, pose_cov=pose_cov,
                      z_cov=z_cov.reshape(K, Hh, Ww), flow_rms=flow_rms)
+
+
+# ---------------------------------------------------------------------------
+# packed plan transport
+#
+# On a remote-TPU link every host->device upload costs ~35 ms of stream
+# time regardless of size, so the ~14 small index arrays of a DBAPlan are
+# packed into ONE int32 vector host-side and unpacked with static slices
+# inside the jitted consumer.
+# ---------------------------------------------------------------------------
+
+def pack_plan(plan_arrays, E: int, P: int, K: int, L: int) -> np.ndarray:
+    """plan_arrays: dict of numpy arrays with DBAPlan field names
+    (validity flags as 0/1).  Returns one int32 vector."""
+    a = plan_arrays
+    parts = [a["ii"], a["jj"], a["pi"], a["pj"], a["kk"],
+             a["edge_valid"], a["px"], a["p_valid"], a["p_fixed"],
+             a["kx"], a["k_valid"], a["pair_a"], a["pair_b"],
+             a["pair_valid"]]
+    sizes = [E, E, E, E, E, E, P, P, P, K, K, L, L, L]
+    out = np.empty(sum(sizes), np.int32)
+    o = 0
+    for arr, n in zip(parts, sizes):
+        assert arr.shape[0] == n, (arr.shape, n)
+        out[o:o + n] = arr.astype(np.int32)
+        o += n
+    return out
+
+
+def unpack_plan(vec: jax.Array, E: int, P: int, K: int) -> DBAPlan:
+    """Inverse of pack_plan (jit-traceable; L inferred from length)."""
+    L = (vec.shape[0] - 6 * E - 3 * P - 2 * K) // 3
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = vec[o:o + n]
+        o += n
+        return out
+
+    f32 = jnp.float32
+    return DBAPlan(
+        ii=take(E), jj=take(E), pi=take(E), pj=take(E), kk=take(E),
+        edge_valid=take(E).astype(f32),
+        px=take(P), p_valid=take(P).astype(f32),
+        p_fixed=take(P).astype(f32),
+        kx=take(K), k_valid=take(K).astype(f32),
+        pair_a=take(L), pair_b=take(L),
+        pair_valid=take(L).astype(f32))

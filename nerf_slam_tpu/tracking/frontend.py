@@ -228,19 +228,26 @@ class RaftVisualFrontend:
             for lv in corr.build_pyramid(corr.build_volume(f[ii], f[jj])))
 
     @partial(jax.jit, static_argnums=0)
-    def _distance(self, cam_T_world, idepths, intrinsics, ii, jj, beta):
+    def _distance(self, cam_T_world, idepths, intrinsics, packed, beta):
+        n = packed.shape[0] // 2
         return camera.frame_distance_bidirectional(
-            cam_T_world, idepths, intrinsics, ii, jj, beta)
+            cam_T_world, idepths, intrinsics, packed[:n], packed[n:],
+            beta)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=3)
     def _refresh_edges(self, params, state: KeyframeState,
-                       edges: EdgeState, gather_idx, new_mask,
-                       ii_pad, jj_pad):
+                       edges: EdgeState, packed):
         """Fused edge-state maintenance: compact surviving slots
         (gather_idx), initialize new slots (hidden from contexts, flow
         from reprojection, weight 0 -- visual_frontend.py:846-862), and
         rebuild the correlation pyramid for the active set.  One jit, one
-        static shape, regardless of how many edges changed."""
+        static shape, one packed upload, regardless of how many edges
+        changed."""
+        Ea = self.cfg.e_active
+        gather_idx = packed[:Ea]
+        new_mask = packed[Ea:2 * Ea].astype(jnp.float32)
+        ii_pad = packed[2 * Ea:3 * Ea]
+        jj_pad = packed[3 * Ea:4 * Ea]
         hidden = edges.hidden[gather_idx]
         flow = edges.flow[gather_idx]
         flow_w = edges.flow_weight[gather_idx]
@@ -293,8 +300,7 @@ class RaftVisualFrontend:
     # the hot fused step ------------------------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
     def _update_n(self, params, state: KeyframeState, edges: EdgeState,
-                  inactive: InactiveState, plan: dba.DBAPlan,
-                  ii_act, jj_act, edge_on, seg, n_iters):
+                  inactive: InactiveState, packed_plan):
         """n_iters fused GRU+DBA iterations over the active graph.
 
         Equivalent to calling visual_frontend.update() (:370-470) n times,
@@ -312,6 +318,15 @@ class RaftVisualFrontend:
         """
         cfg = self.cfg
         h, w = self.h, self.w
+        Ea = cfg.e_active
+        n_iters = packed_plan[-1]
+        plan = dba.unpack_plan(packed_plan[:-1], Ea + cfg.e_inactive,
+                               cfg.p_window, cfg.k_depth)
+        # active-edge views (slot-aligned prefix of the plan)
+        ii_act = plan.ii[:Ea]
+        jj_act = plan.jj[:Ea]
+        edge_on = plan.edge_valid[:Ea]
+        seg = jnp.where(plan.edge_valid[:Ea] > 0, plan.kk[:Ea], -1)
         K = plan.kx.shape[0]
         coords0 = camera.coords_grid(h, w)
         cp = corr.CorrPyramid(list(edges.corr_levels))
@@ -500,14 +515,15 @@ class RaftVisualFrontend:
             gather[:len(keep)] = keep
         else:
             gather[:n_keep] = np.arange(n_keep)
-        new_mask = np.zeros(Ea, dtype=np.float32)
-        new_mask[n_keep:n_now] = 1.0
-
+        new_mask = np.zeros(Ea, dtype=np.int32)
+        new_mask[n_keep:n_now] = 1
+        ii_pad = np.zeros(Ea, np.int32)
+        jj_pad = np.zeros(Ea, np.int32)
+        ii_pad[:g.n_edges] = g.ii
+        jj_pad[:g.n_edges] = g.jj
+        packed = np.concatenate([gather, new_mask, ii_pad, jj_pad])
         self.edges = self._refresh_edges(
-            self.params, self.state, self.edges,
-            jnp.asarray(gather), jnp.asarray(new_mask),
-            self._pad_e(g.ii.astype(np.int32)),
-            self._pad_e(g.jj.astype(np.int32)))
+            self.params, self.state, self.edges, jnp.asarray(packed))
 
     def add_factors(self, ii, jj, remove: bool = False):
         """visual_frontend.py:806-862."""
@@ -596,25 +612,17 @@ class RaftVisualFrontend:
             jj_all[Ea:Ea + n_in] = g.jj_inactive
             valid_all[Ea:Ea + n_in] = m
 
-        plan = self._slot_aligned_plan(ii_all, jj_all, valid_all, kf0, kf1)
-
-        # seg: depth-slot of each active edge for GraphAgg
-        kx = np.asarray(plan.kx)
-        kmap = {int(kx[i]): i for i in range(kx.shape[0])
-                if plan.k_valid[i] > 0}
-        seg = np.full(Ea, -1, np.int32)
-        for e in range(n_act):
-            seg[e] = kmap.get(int(g.ii[e]), -1)
-
-        edge_on = np.zeros(Ea, np.float32)
-        edge_on[:n_act] = 1.0
+        pa = self._slot_aligned_plan_np(ii_all, jj_all, valid_all,
+                                        kf0, kf1)
+        L = pa["pair_a"].shape[0]
+        packed = dba.pack_plan(pa, Ea + Ei, cfg.p_window, cfg.k_depth, L)
+        # ONE host->device upload for the whole topology + iteration count
+        packed = np.concatenate([packed,
+                                 np.array([n_iters], np.int32)])
 
         state, edges, flow_rms = self._update_n(
-            self.params, self.state, self.edges, self.inactive, plan,
-            jnp.asarray(ii_all[:Ea].astype(np.int32)),
-            jnp.asarray(jj_all[:Ea].astype(np.int32)),
-            jnp.asarray(edge_on), jnp.asarray(seg),
-            jnp.int32(n_iters))
+            self.params, self.state, self.edges, self.inactive,
+            jnp.asarray(packed))
         self.state = state
         self.edges = edges
         g.age += n_iters
@@ -622,8 +630,8 @@ class RaftVisualFrontend:
         self.last_flow_rms = flow_rms   # device scalar; sync only if read
         return flow_rms
 
-    def _slot_aligned_plan(self, ii_all, jj_all, valid_all, kf0, kf1):
-        """Like dba.plan but keeping edges at their slot positions."""
+    def _slot_aligned_plan_np(self, ii_all, jj_all, valid_all, kf0, kf1):
+        """Numpy plan arrays (slot-aligned); see _slot_aligned_plan."""
         cfg = self.cfg
         E = ii_all.shape[0]
         P, K = cfg.p_window, cfg.k_depth
@@ -652,21 +660,40 @@ class RaftVisualFrontend:
         pa, pb, pv = dba.compute_pairs(
             pi.astype(np.int32), pj.astype(np.int32), kk,
             np.asarray(valid_all, bool), pad_to=self._pair_pad)
+        return {
+            "ii": np.where(valid_all, ii_all, 0).astype(np.int32),
+            "jj": np.where(valid_all, jj_all, 0).astype(np.int32),
+            "pi": pi.astype(np.int32),
+            "pj": pj.astype(np.int32),
+            "kk": kk,
+            "edge_valid": valid_all.astype(np.int32),
+            "px": np.clip(px, 0, cfg.buffer - 1).astype(np.int32),
+            "p_valid": p_valid.astype(np.int32),
+            "p_fixed": p_fixed.astype(np.int32),
+            "kx": kx,
+            "k_valid": k_valid.astype(np.int32),
+            "pair_a": pa,
+            "pair_b": pb,
+            "pair_valid": pv.astype(np.int32),
+        }
+
+    def _slot_aligned_plan(self, ii_all, jj_all, valid_all, kf0, kf1):
+        """DBAPlan (device arrays) built from the numpy plan."""
+        a = self._slot_aligned_plan_np(ii_all, jj_all, valid_all, kf0, kf1)
+        f32 = np.float32
         return dba.DBAPlan(
-            ii=jnp.asarray(np.where(valid_all, ii_all, 0).astype(np.int32)),
-            jj=jnp.asarray(np.where(valid_all, jj_all, 0).astype(np.int32)),
-            pi=jnp.asarray(pi.astype(np.int32)),
-            pj=jnp.asarray(pj.astype(np.int32)),
-            kk=jnp.asarray(kk),
-            edge_valid=jnp.asarray(valid_all.astype(np.float32)),
-            px=jnp.asarray(np.clip(px, 0, cfg.buffer - 1).astype(np.int32)),
-            p_valid=jnp.asarray(p_valid),
-            p_fixed=jnp.asarray(p_fixed),
-            kx=jnp.asarray(kx),
-            k_valid=jnp.asarray(k_valid),
-            pair_a=jnp.asarray(pa),
-            pair_b=jnp.asarray(pb),
-            pair_valid=jnp.asarray(pv))
+            ii=jnp.asarray(a["ii"]), jj=jnp.asarray(a["jj"]),
+            pi=jnp.asarray(a["pi"]), pj=jnp.asarray(a["pj"]),
+            kk=jnp.asarray(a["kk"]),
+            edge_valid=jnp.asarray(a["edge_valid"].astype(f32)),
+            px=jnp.asarray(a["px"]),
+            p_valid=jnp.asarray(a["p_valid"].astype(f32)),
+            p_fixed=jnp.asarray(a["p_fixed"].astype(f32)),
+            kx=jnp.asarray(a["kx"]),
+            k_valid=jnp.asarray(a["k_valid"].astype(f32)),
+            pair_a=jnp.asarray(a["pair_a"]),
+            pair_b=jnp.asarray(a["pair_b"]),
+            pair_valid=jnp.asarray(a["pair_valid"].astype(f32)))
 
     # keyframe-level ops ------------------------------------------------
     def distance(self, ii, jj) -> np.ndarray:
@@ -679,13 +706,11 @@ class RaftVisualFrontend:
         for size in (16, 256, self.cfg.buffer ** 2):
             if n <= size:
                 break
-        ii_p = np.zeros(size, np.int32)
-        jj_p = np.zeros(size, np.int32)
-        ii_p[:n] = ii
-        jj_p[:n] = jj
+        packed = np.zeros(2 * size, np.int32)
+        packed[:n] = ii
+        packed[size:size + n] = jj
         d = self._distance(st.cam_T_world, st.idepths, st.intrinsics,
-                           jnp.asarray(ii_p), jnp.asarray(jj_p),
-                           self.cfg.beta)
+                           jnp.asarray(packed), self.cfg.beta)
         return np.asarray(d)[:n]
 
     def add_neighborhood_factors(self, kf0, kf1, radius=3):
