@@ -443,46 +443,73 @@ class RaftVisualFrontend:
     def _normalize(self, image: np.ndarray) -> jax.Array:
         """uint8 (H,W,3) -> normalized float (1,H,W,3)
         (visual_frontend.py:964-973)."""
-        x = jnp.asarray(image, dtype=jnp.float32) / 255.0
+        return self._normalize_dev(jnp.asarray(image, jnp.uint8))
+
+    @partial(jax.jit, static_argnums=0)
+    def _normalize_dev(self, image_u8: jax.Array) -> jax.Array:
+        x = image_u8.astype(jnp.float32) / 255.0
         mean = jnp.array([0.485, 0.456, 0.406])
         std = jnp.array([0.229, 0.224, 0.225])
         return ((x - mean) / std)[None]
 
-    def _store_frame(self, k: int, slot: int, batch: Dict[str, Any],
-                     encoded=None):
-        """Write an incoming frame into keyframe buffers."""
-        st = self.state
-        img = np.asarray(batch["images"])[..., :3]
-        updates = dict(
-            timestamps=st.timestamps.at[slot].set(
-                float(batch["t_cams"]) if batch.get("t_cams") is not None
-                else float(k)),
-            images=st.images.at[slot].set(jnp.asarray(img, jnp.uint8)),
-            intrinsics=st.intrinsics.at[slot].set(
-                jnp.asarray(batch["intrinsics"], jnp.float32)
-                / self.cfg.dsf),
-        )
-        if batch.get("poses") is not None:
-            updates["gt_poses"] = st.gt_poses.at[slot].set(
-                jnp.asarray(batch["poses"], jnp.float32))
-        if batch.get("depths") is not None:
-            updates["gt_depths"] = st.gt_depths.at[slot].set(
-                jnp.asarray(batch["depths"], jnp.float32))
-            # sensed inverse depth at feature resolution (if provided)
-        if batch.get("idepths_sensed") is not None:
-            updates["idepths_sensed"] = st.idepths_sensed.at[slot].set(
-                jnp.asarray(batch["idepths_sensed"], jnp.float32))
-        self.state = st._replace(**updates)
-
-        if encoded is None:
-            encoded = self._encode(self.params, self._normalize(img))
-        f, c, ci = encoded
-        st = self.state
-        self.state = st._replace(
-            features=st.features.at[slot].set(f.astype(jnp.bfloat16)),
-            contexts=st.contexts.at[slot].set(c.astype(jnp.bfloat16)),
-            cst_contexts=st.cst_contexts.at[slot].set(
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _store_frame_jit(self, state: KeyframeState, slot, img_u8,
+                         gt_depth, small, f, c, ci):
+        """One fused buffer write.  small: packed floats
+        [t_cam, intr(4)/dsf, gt_pose(16 row-major), has_depth]."""
+        t_cam = small[0]
+        intr = small[1:5]
+        gt_pose = small[5:21].reshape(4, 4)
+        has_depth = small[21] > 0
+        gt_d = jnp.where(has_depth, gt_depth, state.gt_depths[slot])
+        return state._replace(
+            timestamps=state.timestamps.at[slot].set(t_cam),
+            images=state.images.at[slot].set(img_u8),
+            intrinsics=state.intrinsics.at[slot].set(intr),
+            gt_poses=state.gt_poses.at[slot].set(gt_pose),
+            gt_depths=state.gt_depths.at[slot].set(gt_d),
+            features=state.features.at[slot].set(f.astype(jnp.bfloat16)),
+            contexts=state.contexts.at[slot].set(c.astype(jnp.bfloat16)),
+            cst_contexts=state.cst_contexts.at[slot].set(
                 ci.astype(jnp.bfloat16)))
+
+    def _store_frame(self, k: int, slot: int, batch: Dict[str, Any],
+                     encoded=None, img_dev=None):
+        """Write an incoming frame into keyframe buffers (3 uploads:
+        image, gt depth, one packed small-field vector)."""
+        if img_dev is None:
+            img_dev = jnp.asarray(
+                np.ascontiguousarray(np.asarray(batch["images"])[..., :3]),
+                jnp.uint8)
+        if encoded is None:
+            encoded = self._encode(self.params,
+                                   self._normalize_dev(img_dev))
+        f, c, ci = encoded
+
+        small = np.zeros(22, np.float32)
+        small[0] = (float(batch["t_cams"])
+                    if batch.get("t_cams") is not None else float(k))
+        small[1:5] = np.asarray(batch["intrinsics"],
+                                np.float32) / self.cfg.dsf
+        if batch.get("poses") is not None:
+            small[5:21] = np.asarray(batch["poses"],
+                                     np.float32).reshape(-1)
+        else:
+            small[5:21] = np.eye(4, dtype=np.float32).reshape(-1)
+        has_depth = batch.get("depths") is not None
+        small[21] = 1.0 if has_depth else 0.0
+        gt_depth = (jnp.asarray(batch["depths"], jnp.float32)
+                    if has_depth
+                    else jnp.zeros((self.H, self.W), jnp.float32))
+
+        self.state = self._store_frame_jit(
+            self.state, jnp.int32(slot), img_dev, gt_depth,
+            jnp.asarray(small), f, c, ci)
+        if batch.get("idepths_sensed") is not None:
+            st = self.state
+            self.state = st._replace(
+                idepths_sensed=st.idepths_sensed.at[slot].set(
+                    jnp.asarray(batch["idepths_sensed"], jnp.float32)))
 
     def has_enough_motion(self, feat_cur) -> bool:
         st = self.state
@@ -498,32 +525,55 @@ class RaftVisualFrontend:
         out[: arr.shape[0]] = arr
         return jnp.asarray(out)
 
+    def _begin_edge_txn(self):
+        """Start batching edge-topology changes: the device edge state is
+        refreshed once at _end_edge_txn instead of per change."""
+        assert getattr(self, "_txn_gather", None) is None
+        self._txn_gather = np.arange(self.graph.n_edges, dtype=np.int64)
+
+    def _end_edge_txn(self):
+        txn = self._txn_gather
+        self._txn_gather = None
+        self._apply_edge_sync(txn)
+
+    def _apply_edge_sync(self, slot_map: np.ndarray):
+        """slot_map: for each current edge, its pre-change device slot
+        (-1 = newly added)."""
+        cfg = self.cfg
+        Ea = cfg.e_active
+        g = self.graph
+        gather = np.zeros(Ea, dtype=np.int32)
+        new_mask = np.zeros(Ea, dtype=np.int32)
+        n = slot_map.shape[0]
+        gather[:n] = np.maximum(slot_map, 0)
+        new_mask[:n] = (slot_map < 0).astype(np.int32)
+        ii_pad = np.zeros(Ea, np.int32)
+        jj_pad = np.zeros(Ea, np.int32)
+        ii_pad[:n] = g.ii
+        jj_pad[:n] = g.jj
+        packed = np.concatenate([gather, new_mask, ii_pad, jj_pad])
+        self.edges = self._refresh_edges(
+            self.params, self.state, self.edges, jnp.asarray(packed))
+
     def _sync_edges_after_change(self, keep: Optional[np.ndarray],
                                  new_ii: np.ndarray, new_jj: np.ndarray,
                                  n_before: int):
         """Compact surviving per-edge state, append new edges, rebuild
-        correlation -- one fixed-shape jit call."""
-        cfg = self.cfg
-        Ea = cfg.e_active
-        g = self.graph
-        n_now = g.n_edges
+        correlation -- one fixed-shape jit call (or defer into an open
+        transaction)."""
         n_new = new_ii.shape[0]
-        n_keep = n_now - n_new
-
-        gather = np.zeros(Ea, dtype=np.int32)
-        if keep is not None:
-            gather[:len(keep)] = keep
-        else:
-            gather[:n_keep] = np.arange(n_keep)
-        new_mask = np.zeros(Ea, dtype=np.int32)
-        new_mask[n_keep:n_now] = 1
-        ii_pad = np.zeros(Ea, np.int32)
-        jj_pad = np.zeros(Ea, np.int32)
-        ii_pad[:g.n_edges] = g.ii
-        jj_pad[:g.n_edges] = g.jj
-        packed = np.concatenate([gather, new_mask, ii_pad, jj_pad])
-        self.edges = self._refresh_edges(
-            self.params, self.state, self.edges, jnp.asarray(packed))
+        n_keep = self.graph.n_edges - n_new
+        if keep is None:
+            keep = np.arange(n_keep)
+        if getattr(self, "_txn_gather", None) is not None:
+            self._txn_gather = np.concatenate(
+                [self._txn_gather[keep],
+                 -np.ones(n_new, dtype=np.int64)])
+            return
+        slot_map = np.concatenate(
+            [np.asarray(keep, np.int64),
+             -np.ones(n_new, dtype=np.int64)])
+        self._apply_edge_sync(slot_map)
 
     def add_factors(self, ii, jj, remove: bool = False):
         """visual_frontend.py:806-862."""
@@ -575,7 +625,15 @@ class RaftVisualFrontend:
                 n_before)
 
     def _store_inactive_flows(self, idx: np.ndarray):
-        """Append flows of edges `idx` to the inactive ring."""
+        """Append flows of edges `idx` to the inactive ring.  During an
+        edge transaction, indices refer to the current host layout and
+        are translated to device slots; flows of edges added within the
+        same transaction have no device state yet and are skipped (their
+        flow is the fresh reprojection either way)."""
+        idx = np.asarray(idx, np.int64)
+        if getattr(self, "_txn_gather", None) is not None:
+            slots = self._txn_gather[idx]
+            idx = slots[slots >= 0]
         Ei = self.cfg.e_inactive
         n_new = min(len(idx), Ei)
         idx_pad = np.zeros(Ei, dtype=np.int32)
@@ -775,8 +833,10 @@ class RaftVisualFrontend:
 
         assert self.kf_idx < cfg.buffer
 
-        norm = self._normalize(np.asarray(batch["images"])[..., :3])
-        encoded = self._encode(self.params, norm)
+        img_dev = jnp.asarray(
+            np.ascontiguousarray(np.asarray(batch["images"])[..., :3]),
+            jnp.uint8)
+        encoded = self._encode(self.params, self._normalize_dev(img_dev))
         if not self.has_enough_motion(encoded[0].astype(jnp.float32)):
             if batch.get("is_last_frame"):
                 self.kf_idx -= 1
@@ -784,7 +844,8 @@ class RaftVisualFrontend:
                 return self.get_viz_out(batch)
             return None
 
-        self._store_frame(k, self.kf_idx, batch, encoded=encoded)
+        self._store_frame(k, self.kf_idx, batch, encoded=encoded,
+                          img_dev=img_dev)
         self.kf_idx_to_f_idx[self.kf_idx] = k
         self.f_idx_to_kf_idx[k] = self.kf_idx
 
@@ -839,6 +900,7 @@ class RaftVisualFrontend:
 
     def __update(self) -> bool:
         cfg = self.cfg
+        self._begin_edge_txn()
         if self.graph.n_edges:
             self.rm_factors(np.asarray(self.graph.age > cfg.max_age),
                             store=True)
@@ -847,6 +909,7 @@ class RaftVisualFrontend:
             kf1=max(self.kf_idx + 1 - cfg.frontend_window, 0),
             rad=cfg.frontend_radius, nms=cfg.frontend_nms,
             thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True)
+        self._end_edge_txn()
 
         st = self.state
         self.state = st._replace(idepths=st.idepths.at[self.kf_idx].set(
