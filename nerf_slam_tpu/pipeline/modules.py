@@ -96,9 +96,10 @@ class FusionModule(PipelineModule):
                 self.done = self.fusion.fuse(pkt) or self.done
             if self.mode == "nerf":
                 self.fusion.fit_volume(self.iters_per_spin)
-            if pkt is None and not self.done and self.parallel_run \
-                    and self.idle_sleep_s > 0:
-                _time.sleep(self.idle_sleep_s)
+        # yield OUTSIDE the lock so idle throttling never blocks tracking
+        if pkt is None and not self.done and self.parallel_run \
+                and self.idle_sleep_s > 0:
+            _time.sleep(self.idle_sleep_s)
         if self.done:
             self._spins_since_done += 1
             if (self.mode != "nerf"

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ..geometry import camera, se3, upsample
 from ..models import DroidNet
 from ..ops import corr
+from ..ops import corr_pallas
 from ..solver import dba
 from . import graph as graphlib
 
@@ -67,6 +68,12 @@ class FrontendConfig:
     lm: float = 1e-4
     ep: float = 0.1
     compute_covariances: bool = True
+    corr_impl: str = "pallas"       # "pallas" | "onehot" (hot-loop lookup)
+    # timing-isolation knobs (compile-time): replace a stage with a
+    # cheap stand-in so its cost shows up as a marginal difference
+    debug_skip_gru: bool = False
+    debug_skip_dba: bool = False
+    debug_skip_lookup: bool = False
     global_ba: bool = False          # run backend() at terminate (:73)
     # initial depth-variance prior (visual_frontend.py:148-151)
     sigma_idepth: float = 0.1
@@ -212,9 +219,10 @@ class RaftVisualFrontend:
         (visual_frontend.py:976-1007)."""
         f1 = feat_last.transpose(2, 0, 1)[None].astype(jnp.bfloat16)
         f2 = feat_cur.transpose(2, 0, 1)[None].astype(jnp.bfloat16)
-        cp = corr.CorrPyramid.build(f1, f2)
+        cp = corr_pallas.CorrPyramidPallas.from_volume(
+            corr.build_volume(f1, f2))
         coords0 = camera.coords_grid(self.h, self.w)[None]
-        cvals = cp(coords0).transpose(0, 2, 3, 1).astype(jnp.bfloat16)
+        cvals = cp.nhwc(coords0).astype(jnp.bfloat16)
         _, delta, _ = self.net.apply(
             params, ctx[None], cst[None], cvals, method=DroidNet.update)
         return jnp.mean(jnp.linalg.norm(delta, axis=-1))
@@ -329,7 +337,12 @@ class RaftVisualFrontend:
         seg = jnp.where(plan.edge_valid[:Ea] > 0, plan.kk[:Ea], -1)
         K = plan.kx.shape[0]
         coords0 = camera.coords_grid(h, w)
-        cp = corr.CorrPyramid(list(edges.corr_levels))
+        if cfg.corr_impl == "pallas":
+            cp = corr_pallas.CorrPyramidPallas(list(edges.corr_levels))
+            lookup_nhwc = cp.nhwc
+        else:
+            cp = corr.CorrPyramid(list(edges.corr_levels))
+            lookup_nhwc = lambda c: cp(c).transpose(0, 2, 3, 1)
         on = edge_on[:, None, None, None]
         ctx_inp = state.cst_contexts[ii_act]
         sens_k = state.idepths_sensed[plan.kx]
@@ -342,12 +355,23 @@ class RaftVisualFrontend:
             motion = jnp.concatenate(
                 [coords1 - coords0, flow - coords1], axis=-1)
             motion = jnp.clip(motion, -64.0, 64.0)
-            cvals = cp(coords1).transpose(0, 2, 3, 1)
+            if cfg.debug_skip_lookup:
+                cvals = jnp.zeros((Ea, h, w, 196))
+            else:
+                cvals = lookup_nhwc(coords1)
 
-            hidden2, delta, weight, eta = self.net.apply(
-                params, hidden, ctx_inp,
-                cvals.astype(jnp.bfloat16), motion.astype(jnp.bfloat16),
-                seg, K, False, method=DroidNet.update)
+            if cfg.debug_skip_gru:
+                hidden2 = hidden + cvals[..., :128].astype(hidden.dtype) \
+                    + motion[..., :1].astype(hidden.dtype)
+                delta = hidden2[..., :2].astype(jnp.float32)
+                weight = 0.5 * jnp.ones((Ea, h, w, 2))
+                eta = 0.01 * jnp.ones((K, h, w))
+            else:
+                hidden2, delta, weight, eta = self.net.apply(
+                    params, hidden, ctx_inp,
+                    cvals.astype(jnp.bfloat16),
+                    motion.astype(jnp.bfloat16),
+                    seg, K, False, method=DroidNet.update)
 
             flow = jnp.where(on > 0, coords1 + delta, flow)
             flow_w = jnp.where(on > 0, weight, flow_w)
@@ -362,11 +386,16 @@ class RaftVisualFrontend:
             weights = jnp.concatenate([flow_w, inactive.flow_weight],
                                       axis=0)
             eta_k = 0.2 * damping[plan.kx] + 1e-7
-            res = dba.dba_iterations(
-                poses, disps, state.intrinsics, targets, weights, eta_k,
-                sens_k, plan, iters=cfg.gn_iters, ep=cfg.ep, lm=cfg.lm,
-                compute_covariances=False)
-            return (i + 1, res.poses, res.disps, hidden, flow, flow_w,
+            if cfg.debug_skip_dba:
+                poses = poses + 1e-9 * jnp.sum(targets)
+                disps = disps + 1e-9 * jnp.sum(weights)
+            else:
+                res = dba.dba_iterations(
+                    poses, disps, state.intrinsics, targets, weights,
+                    eta_k, sens_k, plan, iters=cfg.gn_iters, ep=cfg.ep,
+                    lm=cfg.lm, compute_covariances=False)
+                poses, disps = res.poses, res.disps
+            return (i + 1, poses, disps, hidden, flow, flow_w,
                     damping)
 
         carry = (jnp.zeros((), jnp.int32), state.cam_T_world,

@@ -147,3 +147,38 @@ def test_lookup_onehot_matches_reference_lookup():
     got = corr.lookup_level_onehot(jnp.asarray(vol), jnp.asarray(coords), 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4)
+
+
+def test_lookup_pallas_matches_reference_lookup():
+    from nerf_slam_tpu.ops import corr_pallas
+    rng = np.random.RandomState(10)
+    E, H1, W1, H2, W2 = 3, 6, 7, 9, 11
+    vol = rng.randn(E, H1, W1, H2, W2).astype(np.float32)
+    coords = (rng.rand(E, H1, W1, 2) *
+              np.array([W2 + 2, H2 + 2]) - 1.5).astype(np.float32)
+    want = corr.lookup_level(
+        jnp.asarray(vol).astype(jnp.bfloat16).astype(jnp.float32),
+        jnp.asarray(coords), 3)
+    volp = corr_pallas.pad_level(jnp.asarray(vol))
+    got = corr_pallas.lookup_level_pallas(volp, jnp.asarray(coords),
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_corr_pyramid_pallas_matches_onehot_pyramid():
+    from nerf_slam_tpu.ops import corr_pallas
+    rng = np.random.RandomState(11)
+    E, C, H, W = 2, 16, 8, 10
+    f1 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32))
+    vol = corr.build_volume(f1, f2)
+    coords = jnp.asarray(
+        (rng.rand(E, H, W, 2) * np.array([W - 1, H - 1])
+         ).astype(np.float32))
+    want = corr.CorrPyramid(corr.build_pyramid(vol))(coords)
+    got = corr_pallas.CorrPyramidPallas.from_volume(
+        vol, interpret=True)(coords)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)
