@@ -341,7 +341,8 @@ def solve_system(Hd, vd, Ehat, C, w, p: DBAPlan, ep=0.1, lm=1e-4,
     # zero coupling rows of frozen poses
     Ehat = Ehat * fm.reshape(P, D)[:, None, :, None]
 
-    if p.pair_a is not None and E_blocks is not None:
+    if (p.pair_a is not None and p.pair_a.shape[0] > 0
+            and E_blocks is not None):
         S, vs = _sparse_schur(E_blocks, Q, w, p, fm, P, D)
     else:
         # S = E Q E^T, v_s = E Q w (dense contraction)
@@ -408,7 +409,8 @@ def dba_iterations(poses, disps, intrinsics, targets, weights, eta,
                    disps_sens, p: DBAPlan, iters: int = 2,
                    ep: float = 0.1, lm: float = 1e-4,
                    compute_covariances: bool = True,
-                   motion_only: bool = False) -> DBAResult:
+                   motion_only: bool = False,
+                   with_final: bool = True) -> DBAResult:
     """Run `iters` relinearized GN steps and (optionally) covariances.
 
     poses/disps are full keyframe buffers (N,7)/(N,H,W); only window
@@ -448,6 +450,15 @@ def dba_iterations(poses, disps, intrinsics, targets, weights, eta,
         return poses, disps
 
     poses, disps = jax.lax.fori_loop(0, iters, body, (poses, disps))
+
+    if not (with_final or compute_covariances):
+        # hot loop: the caller only needs the retracted states
+        P = p.px.shape[0]
+        return DBAResult(
+            poses=poses, disps=disps,
+            pose_cov=jnp.zeros((P, 6, 6), dtype=poses.dtype),
+            z_cov=jnp.ones((K, Hh, Ww), dtype=disps.dtype),
+            flow_rms=jnp.zeros((), dtype=disps.dtype))
 
     # final linearization for covariances + diagnostics
     blocks = linearize(poses, disps, intrinsics, targets, weights, p)

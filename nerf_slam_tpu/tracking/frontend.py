@@ -69,6 +69,8 @@ class FrontendConfig:
     ep: float = 0.1
     compute_covariances: bool = True
     corr_impl: str = "pallas"       # "pallas" | "onehot" (hot-loop lookup)
+    schur_impl: str = "dense"       # "dense" (one MXU matmul) | "sparse"
+                                    # (reference-style interaction list)
     # timing-isolation knobs (compile-time): replace a stage with a
     # cheap stand-in so its cost shows up as a marginal difference
     debug_skip_gru: bool = False
@@ -231,9 +233,7 @@ class RaftVisualFrontend:
     def _build_corr(self, features, ii, jj):
         """Rebuild the padded correlation pyramid for edges (ii, jj)."""
         f = features.transpose(0, 3, 1, 2)      # (B,128,h,w)
-        return tuple(
-            lv.astype(jnp.bfloat16)
-            for lv in corr.build_pyramid(corr.build_volume(f[ii], f[jj])))
+        return tuple(corr.build_pyramid_bf16(f[ii], f[jj]))
 
     @partial(jax.jit, static_argnums=0)
     def _distance(self, cam_T_world, idepths, intrinsics, packed, beta):
@@ -269,9 +269,7 @@ class RaftVisualFrontend:
         flow_w = jnp.where(nm > 0, 0.0, flow_w)
 
         f = state.features.transpose(0, 3, 1, 2)
-        levels = tuple(
-            lv.astype(jnp.bfloat16) for lv in corr.build_pyramid(
-                corr.build_volume(f[ii_pad], f[jj_pad])))
+        levels = tuple(corr.build_pyramid_bf16(f[ii_pad], f[jj_pad]))
         return EdgeState(hidden=hidden, flow=flow, flow_weight=flow_w,
                          corr_levels=levels)
 
@@ -393,7 +391,8 @@ class RaftVisualFrontend:
                 res = dba.dba_iterations(
                     poses, disps, state.intrinsics, targets, weights,
                     eta_k, sens_k, plan, iters=cfg.gn_iters, ep=cfg.ep,
-                    lm=cfg.lm, compute_covariances=False)
+                    lm=cfg.lm, compute_covariances=False,
+                    with_final=False)
                 poses, disps = res.poses, res.disps
             return (i + 1, poses, disps, hidden, flow, flow_w,
                     damping)
@@ -414,9 +413,9 @@ class RaftVisualFrontend:
         Hd, vd, Ehat, C, wv = dba.assemble(blocks, plan, disps, eta_k,
                                            sens_k)
         if cfg.compute_covariances:
+            eb = blocks[2] if cfg.schur_impl == "sparse" else None
             _, _, L, Q = dba.solve_system(Hd, vd, Ehat, C, wv, plan,
-                                          cfg.ep, cfg.lm,
-                                          E_blocks=blocks[2])
+                                          cfg.ep, cfg.lm, E_blocks=eb)
             pose_cov_p, z_cov = dba.covariances(L, Ehat, Q, plan)
             z_cov = z_cov.reshape(K, h, w)
         else:
@@ -743,10 +742,17 @@ class RaftVisualFrontend:
         k_valid = np.zeros(K, np.float32)
         k_valid[:kf_ids.shape[0]] = 1.0
         # interaction list for the sparse Schur assembly; padded to a
-        # fixed size per (e_active+e_inactive) config so jits are stable
-        pa, pb, pv = dba.compute_pairs(
-            pi.astype(np.int32), pj.astype(np.int32), kk,
-            np.asarray(valid_all, bool), pad_to=self._pair_pad)
+        # fixed size per (e_active+e_inactive) config so jits are stable.
+        # The dense-Schur default needs no pairs (empty list -> dense
+        # contraction downstream), skipping this host-side O(pairs) loop.
+        if cfg.schur_impl == "sparse":
+            pa, pb, pv = dba.compute_pairs(
+                pi.astype(np.int32), pj.astype(np.int32), kk,
+                np.asarray(valid_all, bool), pad_to=self._pair_pad)
+        else:
+            pa = np.zeros(0, np.int32)
+            pb = np.zeros(0, np.int32)
+            pv = np.zeros(0, np.float32)
         return {
             "ii": np.where(valid_all, ii_all, 0).astype(np.int32),
             "jj": np.where(valid_all, jj_all, 0).astype(np.int32),

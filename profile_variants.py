@@ -84,9 +84,9 @@ def main():
     res = {}
     import gc
     for name, kwargs in [
-        ("skip_lookup", dict(debug_skip_lookup=True)),
-        ("skip_all3", dict(debug_skip_gru=True, debug_skip_dba=True,
-                           debug_skip_lookup=True)),
+        ("dense+nofinal", dict()),
+        ("sparse schur", dict(schur_impl="sparse")),
+        ("skip_dba", dict(debug_skip_dba=True)),
     ]:
         t0 = time.time()
         fe = None
