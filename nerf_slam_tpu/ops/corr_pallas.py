@@ -99,6 +99,397 @@ def _auto_interpret(interpret: bool) -> bool:
     return interpret or jax.default_backend() == "cpu"
 
 
+def _level_lookup_body(yi, xi, dx, dy, vol, out_ref, lvl):
+    """Per-pixel batched one-hot lookup for ONE level (v1 kernel body).
+
+    yi/xi: (P, 1) int32 window starts; dx/dy: (P, 1) f32; vol: (P, H2,
+    W2) bf16 value; writes out_ref[0, :, :, lvl, :RD, :RD].
+    """
+    P, H2, W2 = vol.shape
+    _, R, W1 = out_ref.shape[:3]
+
+    Yids = jax.lax.broadcasted_iota(jnp.int32, (P, _NSUP, H2), 2)
+    bids = jax.lax.broadcasted_iota(jnp.int32, (P, _NSUP, H2), 1)
+    OHY = (Yids == _bcast(yi, (P, _NSUP, H2)) + bids
+           ).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(
+        OHY, vol, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    Xids = jax.lax.broadcasted_iota(jnp.int32, (P, _NSUP, W2), 2)
+    aids = jax.lax.broadcasted_iota(jnp.int32, (P, _NSUP, W2), 1)
+    OHX = (Xids == _bcast(xi, (P, _NSUP, W2)) + aids
+           ).astype(jnp.bfloat16)
+    S = jax.lax.dot_general(
+        OHX, rows, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (P, 8a, 8b)
+
+    sq = (P, _RD, _RD)
+    w00 = _bcast((1 - dx) * (1 - dy), sq)
+    w10 = _bcast(dx * (1 - dy), sq)
+    w01 = _bcast((1 - dx) * dy, sq)
+    w11 = _bcast(dx * dy, sq)
+    out = (w00 * S[:, :_RD, :_RD] + w10 * S[:, 1:, :_RD]
+           + w01 * S[:, :_RD, 1:] + w11 * S[:, 1:, 1:])    # (P, a, b)
+    out_ref[0, :, :, lvl, : _RD, : _RD] = out.reshape(R, W1, _RD, _RD)
+
+
+def _lookup_pyramid_kernel(pix_ref, v0_ref, v1_ref, v2_ref, v3_ref,
+                           out_ref):
+    """ALL 4 pyramid levels in one program: per-level window math on the
+    VPU, then the v1 per-pixel one-hot lookups.  One grid instead of
+    four slashes per-program overhead 4x -- the dominant cost at
+    frontend sizes (the per-level compute is tiny)."""
+    _, R, W1, _ = pix_ref.shape
+    P = R * W1
+    r = _RD // 2
+    x0 = pix_ref[0, :, :, 0:1].reshape(P, 1)
+    y0 = pix_ref[0, :, :, 1:2].reshape(P, 1)
+
+    for lvl, vref in enumerate((v0_ref, v1_ref, v2_ref, v3_ref)):
+        _, _, _, H2, W2 = vref.shape
+        inv = 1.0 / (2 ** lvl)
+        xl = x0 * inv
+        yl = y0 * inv
+        fx = jnp.floor(xl)
+        fy = jnp.floor(yl)
+        dx = xl - fx
+        dy = yl - fy
+        xi = jnp.clip(fx.astype(jnp.int32) - r, -_NSUP, W2 + _NSUP)
+        yi = jnp.clip(fy.astype(jnp.int32) - r, -_NSUP, H2 + _NSUP)
+        _level_lookup_body(yi, xi, dx, dy, vref[0].reshape(P, H2, W2),
+                           out_ref, lvl)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lookup_pyramid_pallas_nhwc(levels, coords: jax.Array,
+                               interpret: bool = False) -> jax.Array:
+    """Fused 4-level windowed lookup: (E, H1, W1, 196) f32, channels
+    level-major then x-offset major (the CorrBlock contract)."""
+    interpret = _auto_interpret(interpret)
+    E, H1, W1 = coords.shape[:3]
+    assert len(levels) == 4
+
+    def r8(n):
+        return -(-n // 8) * 8
+
+    def r128(n):
+        return -(-n // 128) * 128
+
+    slab_unit = sum(W1 * r8(v.shape[-2]) * r128(v.shape[-1]) * 2
+                    for v in levels)
+    R = max(1, min(H1, (4 * 1024 * 1024) // max(slab_unit, 1)))
+    while R > 1 and H1 % R:
+        R -= 1
+
+    grid = (E, H1 // R)
+    vol_specs = [
+        pl.BlockSpec((1, R, W1, v.shape[-2], v.shape[-1]),
+                     lambda e, y: (e, y, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for v in levels
+    ]
+    out = pl.pallas_call(
+        _lookup_pyramid_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, R, W1, 2), lambda e, y: (e, y, 0, 0),
+                               memory_space=pltpu.VMEM)] + vol_specs,
+        out_specs=pl.BlockSpec((1, R, W1, 4, _NSUP, _NSUP),
+                               lambda e, y: (e, y, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, H1, W1, 4, _NSUP, _NSUP),
+                                       jnp.float32),
+        interpret=interpret,
+    )(coords.astype(jnp.float32), *levels)
+    # channel = lvl*49 + a*7 + b (level-major, x-offset major)
+    out = out[..., : _RD, : _RD].reshape(E, H1, W1, 4 * _RD * _RD)
+    return out
+
+
+def _make_l0_kernel(dims):
+    """Kernel factory: 4-level lookup from the LEVEL-0 slab only.
+
+    Avg-pooling commutes with windowed sampling, so a level-l tap equals
+    the mean of its 2^l x 2^l level-0 block: the one-hot y-select for
+    level l is just ``(Y0 >> l) == yi_l + b`` (a range indicator), and
+    the 4^-l normalization folds into the bilinear weights.  Levels 1-3
+    never touch HBM -- one slab stream instead of four, and the edge
+    state only stores level 0.  ``dims``: ((H_l, W_l) x 4) REAL (crop-
+    floored) level dims; taps at or beyond H_l/W_l are masked, which
+    also keeps cropped and padded level-0 rows out of the averages.
+    """
+    def kernel(pix_ref, vol_ref, out_ref):
+        _, R, W1, H2p, W2 = vol_ref.shape
+        P = R * W1
+        r = _RD // 2
+        x0 = pix_ref[0, :, :, 0:1].reshape(P, 1)
+        y0 = pix_ref[0, :, :, 1:2].reshape(P, 1)
+        vol = vol_ref[0].reshape(P, H2p, W2)
+
+        for lvl, (Hl, Wl) in enumerate(dims):
+            inv = 1.0 / (2 ** lvl)
+            xl = x0 * inv
+            yl = y0 * inv
+            fx = jnp.floor(xl)
+            fy = jnp.floor(yl)
+            dx = xl - fx
+            dy = yl - fy
+            xi = jnp.clip(fx.astype(jnp.int32) - r, -_NSUP, Wl + _NSUP)
+            yi = jnp.clip(fy.astype(jnp.int32) - r, -_NSUP, Hl + _NSUP)
+
+            Yblk = jax.lax.broadcasted_iota(
+                jnp.int32, (P, _NSUP, H2p), 2) >> lvl
+            bids = jax.lax.broadcasted_iota(
+                jnp.int32, (P, _NSUP, H2p), 1)
+            tgt = _bcast(yi, (P, _NSUP, H2p)) + bids
+            OHY = ((Yblk == tgt) & (tgt < Hl)).astype(jnp.bfloat16)
+            rows = jax.lax.dot_general(
+                OHY, vol, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+            Xblk = jax.lax.broadcasted_iota(
+                jnp.int32, (P, _NSUP, W2), 2) >> lvl
+            aids = jax.lax.broadcasted_iota(
+                jnp.int32, (P, _NSUP, W2), 1)
+            tgx = _bcast(xi, (P, _NSUP, W2)) + aids
+            OHX = ((Xblk == tgx) & (tgx < Wl)).astype(jnp.bfloat16)
+            S = jax.lax.dot_general(
+                OHX, rows,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # (P, 8a, 8b)
+
+            scale = inv * inv                # 4^-l block-mean norm
+            sq = (P, _RD, _RD)
+            w00 = _bcast(scale * (1 - dx) * (1 - dy), sq)
+            w10 = _bcast(scale * dx * (1 - dy), sq)
+            w01 = _bcast(scale * (1 - dx) * dy, sq)
+            w11 = _bcast(scale * dx * dy, sq)
+            out = (w00 * S[:, :_RD, :_RD] + w10 * S[:, 1:, :_RD]
+                   + w01 * S[:, :_RD, 1:] + w11 * S[:, 1:, 1:])
+            out_ref[0, :, :, lvl, : _RD, : _RD] = out.reshape(
+                R, W1, _RD, _RD)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "interpret"))
+def lookup_pyramid_l0_nhwc(vol0: jax.Array, coords: jax.Array,
+                           dims, interpret: bool = False) -> jax.Array:
+    """Fused 4-level lookup from the level-0 volume alone.
+
+    vol0: (E, H1, W1, H2p, W2) bf16 (H2p >= dims[0][0], extra rows are
+    never read); coords: (E, H1, W1, 2) level-0 units; dims: static
+    ((H_l, W_l) x 4) real level dims.  Returns (E, H1, W1, 196).
+    """
+    interpret = _auto_interpret(interpret)
+    E, H1, W1, H2p, W2 = vol0.shape
+
+    def r8(n):
+        return -(-n // 8) * 8
+
+    def r128(n):
+        return -(-n // 128) * 128
+
+    # the four unrolled levels' temporaries stack on the scoped-vmem
+    # stack (~2.2 MB per pixel-row at W1=80), so keep the slab small
+    slab_unit = W1 * r8(H2p) * r128(W2) * 2
+    R = max(1, min(H1, (2 * 1024 * 1024) // max(slab_unit, 1)))
+    while R > 1 and H1 % R:
+        R -= 1
+
+    grid = (E, H1 // R)
+    out = pl.pallas_call(
+        _make_l0_kernel(tuple(dims)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, R, W1, 2), lambda e, y: (e, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W1, H2p, W2),
+                         lambda e, y: (e, y, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, W1, 4, _NSUP, _NSUP),
+                               lambda e, y: (e, y, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, H1, W1, 4, _NSUP, _NSUP),
+                                       jnp.float32),
+        interpret=interpret,
+    )(coords.astype(jnp.float32), vol0)
+    out = out[..., : _RD, : _RD].reshape(E, H1, W1, 4 * _RD * _RD)
+    return out
+
+
+def pyramid_dims(h: int, w: int, num_levels: int = 4):
+    """Real (floor-cropped) level dims for an (h, w) level-0 volume."""
+    dims = []
+    for _ in range(num_levels):
+        dims.append((h, w))
+        h, w = h // 2, w // 2
+    return tuple(dims)
+
+
+_G = 16          # pixels per grouped matmul (G*8 = 128 MXU rows)
+
+
+def _lookup_kernel_grouped(yi_ref, xi_ref, dx_ref, dy_ref, vol_ref,
+                           out_ref):
+    """Grouped-matmul variant: G pixels share one block-diagonal one-hot.
+
+    The per-pixel formulation issues (8, H2)@(H2, W2) matmuls -- ~1% MXU
+    utilization.  Here G=16 pixels are fused into a single
+    (G*8, G*H2)@(G*H2, W2) matmul (block-diagonal one-hot selects), a
+    full-height MXU op; the G-fold one-hot redundancy is far cheaper
+    than the 100x utilization loss it removes.  The x-select is a second
+    fused matmul producing all (pixel, y-tap) x (pixel', x-tap) cross
+    terms; the block diagonal is then reduced out on the VPU.
+    """
+    _, R, W1, H2, W2 = vol_ref.shape
+    P = R * W1
+    G = _G
+    n_groups = P // G
+    per_row = W1 // G                 # groups per source row (W1 % G == 0)
+    GH = G * H2
+
+    def io3(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+    def body(g, _):
+        r_idx = g // per_row
+        w0 = (g % per_row) * G
+        sl = pl.ds(w0, G)
+        # slice REFS with dynamic starts (Mosaic supports ref
+        # ds-indexing; dynamic_slice on values is not implemented)
+        yi_g = yi_ref[0, r_idx, sl]             # (G, 1)
+        xi_g = xi_ref[0, r_idx, sl]
+        dx_g = dx_ref[0, r_idx, sl]
+        dy_g = dy_ref[0, r_idx, sl]
+        V = vol_ref[0, r_idx, sl].reshape(GH, W2)   # bf16; H2 % 8 == 0
+
+        # OHY[(p,b), (p2,Y)] = (p2 == p) & (Y == yi[p] + b), built in 3D
+        # (G, 8, G*H2) and collapsed (leading-dim collapse with an
+        # 8-multiple second-minor is the Mosaic-legal shape cast)
+        yiB = jax.lax.broadcast_in_dim(yi_g, (G, 8, GH), (0, 1))
+        tgtY = yiB + io3((G, 8, GH), 1)
+        colY = io3((G, 8, GH), 2)
+        OHY = ((colY % H2 == tgtY) & (colY // H2 == io3((G, 8, GH), 0))
+               ).astype(jnp.bfloat16).reshape(G * 8, GH)
+
+        rows = jax.lax.dot_general(
+            OHY, V, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        # rows: (G*8 = (p, b), W2)
+
+        # OHX[(p2,a), X] = (X == xi[p2] + a)
+        xiB = jax.lax.broadcast_in_dim(xi_g, (G, 8, W2), (0, 1))
+        tgtX = xiB + io3((G, 8, W2), 1)
+        OHX = (io3((G, 8, W2), 2) == tgtX).astype(jnp.bfloat16) \
+            .reshape(G * 8, W2)
+
+        # M[(p,b), (p2,a)] = sum_X rows * OHX  (cross terms p2 != p are
+        # the price of one full-height MXU matmul; masked out next)
+        M = jax.lax.dot_general(
+            rows, OHX, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (G*8, G*8)
+
+        # block-diagonal fold: S[(p,b), a] = M[(p,b), (p,a)] via a masked
+        # matmul (2D iota masks only -- no strided slicing)
+        rowp = io3((G * 8, G * 8), 0) // 8
+        colp = io3((G * 8, G * 8), 1) // 8
+        Mbd = M * (rowp == colp).astype(jnp.float32)
+        SEL = (io3((G * 8, 8), 0) % 8 == io3((G * 8, 8), 1)
+               ).astype(jnp.float32)                # (G*8 (p2,a), 8 a')
+        S = jax.lax.dot_general(
+            Mbd, SEL, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (G*8 (p,b), 8 a)
+        S = S.reshape(G, 8, 8)                      # (p, b, a)
+
+        dx = jax.lax.broadcast_in_dim(dx_g, (G, 1, 1), (0, 1))
+        dy = jax.lax.broadcast_in_dim(dy_g, (G, 1, 1), (0, 1))
+        sq = (G, _RD, _RD)
+
+        def b3(v):
+            return jax.lax.broadcast_in_dim(v, sq, (0, 1, 2))
+
+        # b-axis (dim 1) holds y taps, a-axis (dim 2) x taps
+        out = (b3((1 - dx) * (1 - dy)) * S[:, :_RD, :_RD]
+               + b3(dx * (1 - dy)) * S[:, :_RD, 1:]
+               + b3((1 - dx) * dy) * S[:, 1:, :_RD]
+               + b3(dx * dy) * S[:, 1:, 1:])        # (G, b, a)
+
+        out_ref[0, r_idx, sl, : _RD, : _RD] = out
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lookup_level_pallas_grouped_nhwc(volp: jax.Array, coords: jax.Array,
+                                     interpret: bool = False) -> jax.Array:
+    """Grouped-matmul windowed lookup; output channels (b, a) = y-major
+    (callers must transpose to the x-major contract -- see
+    :class:`CorrPyramidPallas`, which handles it)."""
+    interpret = _auto_interpret(interpret)
+    E, H1, W1, H2, W2 = volp.shape
+    if H2 == 0 or W2 == 0:
+        return jnp.zeros((E, H1, W1, _RD * _RD), jnp.float32)
+    r = _RD // 2
+
+    x0 = coords[..., 0]
+    y0 = coords[..., 1]
+    fx = jnp.floor(x0)
+    fy = jnp.floor(y0)
+    dx = (x0 - fx).astype(jnp.float32)
+    dy = (y0 - fy).astype(jnp.float32)
+    xi = jnp.clip(fx.astype(jnp.int32) - r, -_NSUP, W2 + _NSUP)
+    yi = jnp.clip(fy.astype(jnp.int32) - r, -_NSUP, H2 + _NSUP)
+
+    def r8(n):
+        return -(-n // 8) * 8
+
+    def r128(n):
+        return -(-n // 128) * 128
+
+    slab_unit = W1 * r8(H2) * r128(W2) * 2
+    # Mosaic allocates each in-kernel loop iteration's temporaries on the
+    # scoped-vmem stack, so cap the group loop length as well as the slab
+    max_loop = 12
+    R = max(1, min(H1, (4 * 1024 * 1024) // max(slab_unit, 1),
+                   max(1, (max_loop * _G) // max(W1, 1))))
+    while R > 1 and H1 % R:
+        R -= 1
+    # the output write assumes a group never straddles source rows, and
+    # the kernel's (G, H2, W2) -> (G*H2, W2) collapse needs sublane-
+    # aligned rows (build the pyramid with pad_rows_to=8)
+    if W1 % _G != 0 or H2 % 8 != 0:
+        return lookup_level_pallas_nhwc(volp, coords, interpret=interpret)
+
+    grid = (E, H1 // R)
+    spec_pix = pl.BlockSpec((1, R, W1, 1), lambda e, y: (e, y, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _lookup_kernel_grouped,
+        grid=grid,
+        in_specs=[
+            spec_pix,
+            spec_pix,
+            spec_pix,
+            spec_pix,
+            pl.BlockSpec((1, R, W1, H2, W2),
+                         lambda e, y: (e, y, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, W1, _NSUP, _NSUP),
+                               lambda e, y: (e, y, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, H1, W1, _NSUP, _NSUP),
+                                       jnp.float32),
+        interpret=interpret,
+    )(yi[..., None], xi[..., None], dx[..., None], dy[..., None], volp)
+    # out[..., b, a]: transpose to the x-major channel contract a*7+b
+    out = jnp.swapaxes(out[..., : _RD, : _RD], -1, -2)
+    return out.reshape(E, H1, W1, _RD * _RD)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lookup_level_pallas_nhwc(volp: jax.Array, coords: jax.Array,
                              interpret: bool = False) -> jax.Array:
@@ -185,11 +576,13 @@ class CorrPyramidPallas:
     update step.  Levels are stored bf16.
     """
 
-    def __init__(self, levels, radius: int = 3, interpret: bool = False):
+    def __init__(self, levels, radius: int = 3, interpret: bool = False,
+                 grouped: bool = False):
         assert radius == 3, "kernel is specialized to radius 3"
         self.levels = list(levels)
         self.radius = radius
         self.interpret = interpret
+        self.grouped = grouped
 
     @staticmethod
     def from_volume(volume: jax.Array, num_levels: int = 4,
@@ -201,10 +594,19 @@ class CorrPyramidPallas:
             interpret=interpret)
 
     def nhwc(self, coords: jax.Array) -> jax.Array:
+        ok4 = (len(self.levels) == 4
+               and all(v.shape[-1] > 0 and v.shape[-2] > 0
+                       for v in self.levels))
+        if ok4 and not self.grouped:
+            return lookup_pyramid_pallas_nhwc(
+                tuple(lv.astype(jnp.bfloat16) for lv in self.levels),
+                coords, interpret=self.interpret)
+        fn = (lookup_level_pallas_grouped_nhwc if self.grouped
+              else lookup_level_pallas_nhwc)
         outs = []
         for lvl, volp in enumerate(self.levels):
-            outs.append(lookup_level_pallas_nhwc(
-                volp, coords / (2 ** lvl), interpret=self.interpret))
+            outs.append(fn(volp, coords / (2 ** lvl),
+                           interpret=self.interpret))
         return jnp.concatenate(outs, axis=-1)
 
     def __call__(self, coords: jax.Array) -> jax.Array:

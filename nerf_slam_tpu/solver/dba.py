@@ -185,7 +185,52 @@ def _seg_mat(A, idx, nseg):
 
 def linearize(poses, disps, intrinsics, targets, weights, p: DBAPlan):
     """Per-edge Gauss-Newton blocks; the projective_transform_kernel
-    equivalent.  Returns (Hs quadrants, vs, Eiz, Ejz, Cii, bz)."""
+    equivalent.  Returns (Hs quadrants, vs, Eiz, Ejz, Cii, bz).
+
+    Channel-major internally: all Jacobians are (E, C, HW) planes with
+    the pixel axis on TPU lanes, and the 12x12 per-edge Hessian comes
+    from ONE batched (12, 2HW)@(2HW, 12) contraction -- the NHWC
+    formulation with trailing (2, 6) dims padded 6 lanes to 128 and
+    cost ~15 ms/call at frontend sizes; this one is ~1 ms.
+    """
+    Ec = p.ii.shape[0]
+    H, W = disps.shape[-2:]
+    HW = H * W
+
+    coords, valid, Ji, Jj, Jz = camera.projective_transform_cm(
+        poses, disps, intrinsics, p.ii, p.jj)
+    # (E,2,HW), (E,1,HW), (E,6,2,HW), (E,6,2,HW), (E,2,HW)
+
+    t_cm = jnp.moveaxis(targets.reshape(Ec, HW, 2), -1, 1)
+    w_cm = jnp.moveaxis(weights.reshape(Ec, HW, 2), -1, 1)
+    r = t_cm - coords                                    # (E,2,HW)
+    w = 0.001 * valid * w_cm * p.edge_valid[:, None, None]
+
+    J2 = jnp.concatenate([Ji, Jj], axis=1).reshape(Ec, 12, 2 * HW)
+    wflat = w.reshape(Ec, 1, 2 * HW)
+    rflat = r.reshape(Ec, 2 * HW)
+    wJ2 = wflat * J2
+
+    H12 = jnp.einsum("eck,edk->ecd", wJ2, J2)            # (E,12,12)
+    v12 = jnp.einsum("eck,ek->ec", wJ2, rflat)           # (E,12)
+    Hii = H12[:, :6, :6]
+    Hij = H12[:, :6, 6:]
+    Hjj = H12[:, 6:, 6:]
+    vi = v12[:, :6]
+    vj = v12[:, 6:]
+
+    wJz = w * Jz                                         # (E,2,HW)
+    Eiz = jnp.einsum("exh,ecxh->ech", wJz, Ji)
+    Ejz = jnp.einsum("exh,ecxh->ech", wJz, Jj)
+    Cii = jnp.sum(wJz * Jz, axis=1)                      # (E,HW)
+    bz = jnp.sum(wJz * r, axis=1)
+
+    return (Hii, Hij, Hjj), (vi, vj), (Eiz, Ejz), (Cii, bz)
+
+
+def _linearize_nhwc_ref(poses, disps, intrinsics, targets, weights,
+                        p: DBAPlan):
+    """Reference NHWC formulation (kept for parity testing)."""
     Ec = p.ii.shape[0]
     H, W = disps.shape[-2:]
     HW = H * W

@@ -68,7 +68,8 @@ class FrontendConfig:
     lm: float = 1e-4
     ep: float = 0.1
     compute_covariances: bool = True
-    corr_impl: str = "pallas"       # "pallas" | "onehot" (hot-loop lookup)
+    corr_impl: str = "pallas"       # hot-loop lookup kernel:
+                                    # "pallas" | "pallas_grouped" | "onehot"
     schur_impl: str = "dense"       # "dense" (one MXU matmul) | "sparse"
                                     # (reference-style interaction list)
     # timing-isolation knobs (compile-time): replace a stage with a
@@ -196,8 +197,10 @@ class RaftVisualFrontend:
         Ea, h, w = cfg.e_active, self.h, self.w
         levels = []
         hl, wl = h, w
-        for _ in range(4):
-            levels.append(jnp.zeros((Ea, h, w, hl, wl), jnp.bfloat16))
+        n_lv = 1 if cfg.corr_impl == "pallas" else 4
+        for _ in range(n_lv):
+            hp = -(-hl // 8) * 8     # sublane-aligned rows
+            levels.append(jnp.zeros((Ea, h, w, hp, wl), jnp.bfloat16))
             hl, wl = hl // 2, wl // 2
         return EdgeState(
             hidden=jnp.zeros((Ea, h, w, 128), jnp.bfloat16),
@@ -219,6 +222,25 @@ class RaftVisualFrontend:
     def _motion_mag(self, params, feat_last, feat_cur, ctx, cst):
         """Mean GRU flow-delta magnitude for the motion filter
         (visual_frontend.py:976-1007)."""
+        return self._motion_mag_inline(params, feat_last, feat_cur, ctx,
+                                       cst)
+
+    @partial(jax.jit, static_argnums=0)
+    def _encode_motion(self, params, state: KeyframeState, last_kf,
+                       image_norm):
+        """Fused per-frame admission step: encode the frame AND compute
+        the motion-filter magnitude against the last keyframe in ONE
+        dispatch (the reference runs these as separate CUDA launches;
+        here each dispatch rides a ~30 ms tunnel, so fusing halves the
+        per-frame latency floor)."""
+        f = self.net.apply(params, image_norm, method=DroidNet.features)
+        c, ci = self.net.apply(params, image_norm, method=DroidNet.context)
+        mag = self._motion_mag_inline(
+            params, state.features[last_kf].astype(jnp.float32), f[0],
+            state.contexts[last_kf], state.cst_contexts[last_kf])
+        return f[0], c[0], ci[0], mag
+
+    def _motion_mag_inline(self, params, feat_last, feat_cur, ctx, cst):
         f1 = feat_last.transpose(2, 0, 1)[None].astype(jnp.bfloat16)
         f2 = feat_cur.transpose(2, 0, 1)[None].astype(jnp.bfloat16)
         cp = corr_pallas.CorrPyramidPallas.from_volume(
@@ -233,7 +255,9 @@ class RaftVisualFrontend:
     def _build_corr(self, features, ii, jj):
         """Rebuild the padded correlation pyramid for edges (ii, jj)."""
         f = features.transpose(0, 3, 1, 2)      # (B,128,h,w)
-        return tuple(corr.build_pyramid_bf16(f[ii], f[jj]))
+        n_lv = 1 if self.cfg.corr_impl == "pallas" else 4
+        return tuple(corr.build_pyramid_bf16(f[ii], f[jj], n_lv,
+                                             pad_rows_to=8))
 
     @partial(jax.jit, static_argnums=0)
     def _distance(self, cam_T_world, idepths, intrinsics, packed, beta):
@@ -269,7 +293,9 @@ class RaftVisualFrontend:
         flow_w = jnp.where(nm > 0, 0.0, flow_w)
 
         f = state.features.transpose(0, 3, 1, 2)
-        levels = tuple(corr.build_pyramid_bf16(f[ii_pad], f[jj_pad]))
+        n_lv = 1 if self.cfg.corr_impl == "pallas" else 4
+        levels = tuple(corr.build_pyramid_bf16(f[ii_pad], f[jj_pad],
+                                               n_lv, pad_rows_to=8))
         return EdgeState(hidden=hidden, flow=flow, flow_weight=flow_w,
                          corr_levels=levels)
 
@@ -325,8 +351,11 @@ class RaftVisualFrontend:
         cfg = self.cfg
         h, w = self.h, self.w
         Ea = cfg.e_active
-        n_iters = packed_plan[-1]
-        plan = dba.unpack_plan(packed_plan[:-1], Ea + cfg.e_inactive,
+        n_iters = packed_plan[-4]
+        seed_slot = packed_plan[-3]       # sensed-depth seed slot (-1: off)
+        d_a = packed_plan[-2]             # keyframe-distance pair, computed
+        d_b = packed_plan[-1]             # on the final state in this jit
+        plan = dba.unpack_plan(packed_plan[:-4], Ea + cfg.e_inactive,
                                cfg.p_window, cfg.k_depth)
         # active-edge views (slot-aligned prefix of the plan)
         ii_act = plan.ii[:Ea]
@@ -336,7 +365,14 @@ class RaftVisualFrontend:
         K = plan.kx.shape[0]
         coords0 = camera.coords_grid(h, w)
         if cfg.corr_impl == "pallas":
-            cp = corr_pallas.CorrPyramidPallas(list(edges.corr_levels))
+            # single-slab path: levels 1-3 are derived from level 0
+            # inside the kernel (pooling commutes with sampling)
+            dims = corr_pallas.pyramid_dims(h, w)
+            lookup_nhwc = lambda c: corr_pallas.lookup_pyramid_l0_nhwc(
+                edges.corr_levels[0], c, dims)
+        elif cfg.corr_impl == "pallas_grouped":
+            cp = corr_pallas.CorrPyramidPallas(
+                list(edges.corr_levels), grouped=True)
             lookup_nhwc = cp.nhwc
         else:
             cp = corr.CorrPyramid(list(edges.corr_levels))
@@ -397,8 +433,15 @@ class RaftVisualFrontend:
             return (i + 1, poses, disps, hidden, flow, flow_w,
                     damping)
 
+        # sensed-depth seeding of the new keyframe's inverse depths
+        # (visual_frontend.py's pre-update seed), folded into this jit
+        B = state.idepths.shape[0]
+        sm = (jnp.arange(B) == seed_slot)[:, None, None]
+        idepths0 = jnp.where(sm & (state.idepths_sensed > 0),
+                             state.idepths_sensed, state.idepths)
+
         carry = (jnp.zeros((), jnp.int32), state.cam_T_world,
-                 state.idepths, edges.hidden, edges.flow,
+                 idepths0, edges.hidden, edges.flow,
                  edges.flow_weight, state.damping)
         carry = jax.lax.while_loop(lambda c: c[0] < n_iters, one_iter,
                                    carry)
@@ -455,6 +498,12 @@ class RaftVisualFrontend:
         depths_cov_up = state.depths_cov_up.at[plan.kx].set(
             jnp.where(kmask, up_c, state.depths_cov_up[plan.kx]))
 
+        # keyframe-rejection distance on the updated state, fused here so
+        # the host's accept/reject branch costs no extra dispatch
+        kf_dist = camera.frame_distance_bidirectional(
+            poses, disps, state.intrinsics, d_a[None], d_b[None],
+            cfg.beta)[0]
+
         state = state._replace(
             cam_T_world=poses, idepths=disps, damping=damping,
             pose_cov=pose_cov, idepths_cov=idepths_cov,
@@ -463,7 +512,7 @@ class RaftVisualFrontend:
         edges = edges._replace(hidden=hidden, flow=flow,
                                flow_weight=flow_w,
                                corr_levels=edges.corr_levels)
-        return state, edges, flow_rms
+        return state, edges, flow_rms, kf_dist
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -672,7 +721,9 @@ class RaftVisualFrontend:
             jnp.asarray(idx_pad), jnp.int32(n_old), jnp.int32(n_new))
 
     # the reference's update() ------------------------------------------
-    def update(self, use_inactive: bool = True, n_iters: int = 1):
+    def update(self, use_inactive: bool = True, n_iters: int = 1,
+               seed_sensed_slot: int = -1,
+               kf_dist_pair: Optional[Tuple[int, int]] = None):
         cfg = self.cfg
         g = self.graph
         if g.n_edges == 0:
@@ -703,10 +754,13 @@ class RaftVisualFrontend:
         L = pa["pair_a"].shape[0]
         packed = dba.pack_plan(pa, Ea + Ei, cfg.p_window, cfg.k_depth, L)
         # ONE host->device upload for the whole topology + iteration count
+        # + sensed-seed slot + keyframe-distance pair
+        da, db = kf_dist_pair if kf_dist_pair is not None else (0, 0)
         packed = np.concatenate([packed,
-                                 np.array([n_iters], np.int32)])
+                                 np.array([n_iters, seed_sensed_slot,
+                                           da, db], np.int32)])
 
-        state, edges, flow_rms = self._update_n(
+        state, edges, flow_rms, kf_dist = self._update_n(
             self.params, self.state, self.edges, self.inactive,
             jnp.asarray(packed))
         self.state = state
@@ -714,6 +768,7 @@ class RaftVisualFrontend:
         g.age += n_iters
         self.viz_idx[kf0:self.kf_idx + 1] = True
         self.last_flow_rms = flow_rms   # device scalar; sync only if read
+        self.last_kf_dist = kf_dist     # device scalar
         return flow_rms
 
     def _slot_aligned_plan_np(self, ii_all, jj_all, valid_all, kf0, kf1):
@@ -810,13 +865,50 @@ class RaftVisualFrontend:
         ii, jj = graphlib.neighborhood_edges(kf0, kf1, radius)
         self.add_factors(ii, jj)
 
+    def _issue_distance(self, ii, jj):
+        """Dispatch a padded distance query; returns (device_array, n)
+        without synchronizing."""
+        st = self.state
+        ii = np.asarray(ii, np.int32).reshape(-1)
+        jj = np.asarray(jj, np.int32).reshape(-1)
+        n = ii.shape[0]
+        for size in (16, 256, self.cfg.buffer ** 2):
+            if n <= size:
+                break
+        packed = np.zeros(2 * size, np.int32)
+        packed[:n] = ii
+        packed[size:size + n] = jj
+        d = self._distance(st.cam_T_world, st.idepths, st.intrinsics,
+                           jnp.asarray(packed), self.cfg.beta)
+        return d, n
+
+    def _prefetch_proximity(self):
+        """Issue the NEXT keyframe's proximity distance grid now, so its
+        result lands during the inter-frame gap instead of blocking the
+        next __update (the query depends only on keyframe state, which
+        the next frame's store does not touch)."""
+        cfg = self.cfg
+        nk = self.kf_idx + 1              # the next keyframe index
+        t = nk + 1
+        kf0 = nk - 4
+        kf1 = max(nk + 1 - cfg.frontend_window, 0)
+        ii_g, jj_g = np.meshgrid(np.arange(kf0, t), np.arange(kf1, t),
+                                 indexing="ij")
+        d, n = self._issue_distance(ii_g.ravel(), jj_g.ravel())
+        self._dist_prefetch = ((t, kf0, kf1), d, n)
+
     def add_proximity_factors(self, kf0=0, kf1=0, rad=2, nms=2,
                               beta=0.3, thresh=16.0, remove=False):
         t = self.kf_idx + 1
         ix = np.arange(kf0, t)
         jx = np.arange(kf1, t)
         ii_g, jj_g = np.meshgrid(ix, jx, indexing="ij")
-        d = self.distance(ii_g.ravel(), jj_g.ravel())
+        pf = getattr(self, "_dist_prefetch", None)
+        if pf is not None and pf[0] == (t, kf0, kf1):
+            d = np.asarray(pf[1])[:pf[2]]
+            self._dist_prefetch = None
+        else:
+            d = self.distance(ii_g.ravel(), jj_g.ravel())
         ii, jj = graphlib.proximity_edges(
             self.graph, d, self.kf_idx, kf0, kf1, rad, nms, thresh,
             self.cfg.max_factors, stereo=False)
@@ -825,6 +917,7 @@ class RaftVisualFrontend:
 
     def rm_keyframe(self, kf_idx: int):
         """visual_frontend.py:529-574: roll buffers down over kf_idx."""
+        self._dist_prefetch = None       # state permutes: prefetch stale
         st = self.state
         B = self.cfg.buffer
         perm = np.arange(B)
@@ -871,8 +964,11 @@ class RaftVisualFrontend:
         img_dev = jnp.asarray(
             np.ascontiguousarray(np.asarray(batch["images"])[..., :3]),
             jnp.uint8)
-        encoded = self._encode(self.params, self._normalize_dev(img_dev))
-        if not self.has_enough_motion(encoded[0].astype(jnp.float32)):
+        f, c, ci, mag = self._encode_motion(
+            self.params, self.state, jnp.int32(self.last_kf_idx),
+            self._normalize_dev(img_dev))
+        encoded = (f, c, ci)
+        if not float(mag) > self.cfg.motion_filter_thresh:
             if batch.get("is_last_frame"):
                 self.kf_idx -= 1
                 self.terminate()
@@ -926,12 +1022,16 @@ class RaftVisualFrontend:
                     st.idepths_cov[self.kf_idx - 3:self.kf_idx + 1]
                     .mean()),
                 depths_cov=st.depths_cov.at[nxt].set(
-                    st.depths_cov[self.kf_idx - 3:self.kf_idx + 1].mean()))
+                    st.depths_cov[self.kf_idx - 3:self.kf_idx + 1].mean()),
+                intrinsics=st.intrinsics.at[nxt].set(
+                    st.intrinsics[self.kf_idx]))
         self.is_initialized = True
         self.viz_idx[: self.kf_idx + 1] = True
         self.rm_factors(
             np.asarray(self.graph.ii < (cfg.keyframe_warmup - 4)),
             store=True)
+        if nxt < cfg.buffer:
+            self._prefetch_proximity()
 
     def __update(self) -> bool:
         cfg = self.cfg
@@ -946,16 +1046,13 @@ class RaftVisualFrontend:
             thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True)
         self._end_edge_txn()
 
-        st = self.state
-        self.state = st._replace(idepths=st.idepths.at[self.kf_idx].set(
-            jnp.where(st.idepths_sensed[self.kf_idx] > 0,
-                      st.idepths_sensed[self.kf_idx],
-                      st.idepths[self.kf_idx])))
+        # sensed-depth seeding + keyframe-rejection distance are fused
+        # into the update jit (no separate dispatches)
+        self.update(use_inactive=True, n_iters=cfg.iters1,
+                    seed_sensed_slot=self.kf_idx,
+                    kf_dist_pair=(self.kf_idx - 2, self.kf_idx - 1))
 
-        self.update(use_inactive=True, n_iters=cfg.iters1)
-
-        d = self.distance([self.kf_idx - 2], [self.kf_idx - 1])
-        if float(d[0]) < cfg.keyframe_thresh:
+        if float(self.last_kf_dist) < cfg.keyframe_thresh:
             return False
 
         self.update(use_inactive=True, n_iters=cfg.iters2)
@@ -973,7 +1070,12 @@ class RaftVisualFrontend:
                 idepths_cov=st.idepths_cov.at[nxt].set(
                     st.idepths_cov[self.kf_idx]),
                 depths_cov=st.depths_cov.at[nxt].set(
-                    st.depths_cov[self.kf_idx]))
+                    st.depths_cov[self.kf_idx]),
+                # intrinsics too: the prefetched distance grid touches
+                # slot nxt before its frame is stored
+                intrinsics=st.intrinsics.at[nxt].set(
+                    st.intrinsics[self.kf_idx]))
+            self._prefetch_proximity()
         return True
 
     # global bundle adjustment (terminate path) -------------------------

@@ -60,12 +60,12 @@ def time_update(fe, n_iters, reps=6):
     pa = fe._slot_aligned_plan_np(ii_all, jj_all, valid_all, kf0, kf1)
     L = pa["pair_a"].shape[0]
     packed = dba.pack_plan(pa, Ea + Ei, cfg.p_window, cfg.k_depth, L)
-    pk = jnp.asarray(np.concatenate([packed,
-                                     np.array([n_iters], np.int32)]))
+    pk = jnp.asarray(np.concatenate(
+        [packed, np.array([n_iters, -1, 0, 1], np.int32)]))
 
     def run():
-        s, e, rms = fe._update_n(fe.params, fe.state, fe.edges,
-                                 fe.inactive, pk)
+        s, e, rms, _ = fe._update_n(fe.params, fe.state, fe.edges,
+                                    fe.inactive, pk)
         fe.state, fe.edges = s, e
         return rms
 
@@ -84,9 +84,8 @@ def main():
     res = {}
     import gc
     for name, kwargs in [
-        ("dense+nofinal", dict()),
-        ("sparse schur", dict(schur_impl="sparse")),
-        ("skip_dba", dict(debug_skip_dba=True)),
+        ("fused-lookup", dict()),
+        ("skip_lookup", dict(debug_skip_lookup=True)),
     ]:
         t0 = time.time()
         fe = None

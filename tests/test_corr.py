@@ -182,3 +182,100 @@ def test_corr_pyramid_pallas_matches_onehot_pyramid():
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_lookup_pallas_grouped_matches_reference_lookup():
+    from nerf_slam_tpu.ops import corr_pallas
+    rng = np.random.RandomState(12)
+    # W1 = 16 so the grouped path (G=16) is exercised, not the fallback
+    E, H1, W1, H2, W2 = 2, 3, 16, 9, 11
+    vol = rng.randn(E, H1, W1, H2, W2).astype(np.float32)
+    coords = (rng.rand(E, H1, W1, 2) *
+              np.array([W2 + 2, H2 + 2]) - 1.5).astype(np.float32)
+    want = corr.lookup_level(
+        jnp.asarray(vol).astype(jnp.bfloat16).astype(jnp.float32),
+        jnp.asarray(coords), 3)
+    volp = corr_pallas.pad_level(jnp.asarray(vol))
+    got = corr_pallas.lookup_level_pallas_grouped_nhwc(
+        volp, jnp.asarray(coords), interpret=True)
+    got = jnp.transpose(got, (0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_lookup_pallas_grouped_fallback_odd_width():
+    from nerf_slam_tpu.ops import corr_pallas
+    rng = np.random.RandomState(13)
+    E, H1, W1, H2, W2 = 2, 3, 7, 9, 11   # W1 % 16 != 0 -> fallback
+    vol = rng.randn(E, H1, W1, H2, W2).astype(np.float32)
+    coords = (rng.rand(E, H1, W1, 2) *
+              np.array([W2 + 2, H2 + 2]) - 1.5).astype(np.float32)
+    want = corr_pallas.lookup_level_pallas_nhwc(
+        corr_pallas.pad_level(jnp.asarray(vol)), jnp.asarray(coords),
+        interpret=True)
+    got = corr_pallas.lookup_level_pallas_grouped_nhwc(
+        corr_pallas.pad_level(jnp.asarray(vol)), jnp.asarray(coords),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_build_pyramid_bf16_matches_volume_pooling():
+    rng = np.random.RandomState(14)
+    E, C, H, W = 2, 16, 10, 12
+    f1 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    f2 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    # reference: pool the f32 volume
+    want = corr.build_pyramid(corr.build_volume(f1, f2), 4)
+    got = corr.build_pyramid_bf16(f1, f2, 4)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(np.asarray(g, dtype=np.float32),
+                                   np.asarray(w), atol=3e-2, rtol=3e-2)
+
+
+def test_lookup_pyramid_fused_matches_per_level():
+    from nerf_slam_tpu.ops import corr_pallas
+    rng = np.random.RandomState(15)
+    E, C, H, W = 2, 16, 16, 16
+    f1 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    f2 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    levels = [lv.astype(jnp.bfloat16)
+              for lv in corr.build_pyramid_bf16(f1, f2, 4, pad_rows_to=8)]
+    coords = jnp.asarray(
+        (rng.rand(E, H, W, 2) * np.array([W - 1., H - 1.])
+         ).astype(np.float32))
+    fused = corr_pallas.lookup_pyramid_pallas_nhwc(tuple(levels), coords,
+                                                   interpret=True)
+    per = []
+    for lvl, v in enumerate(levels):
+        per.append(corr_pallas.lookup_level_pallas_nhwc(
+            v, coords / (2 ** lvl), interpret=True))
+    per = jnp.concatenate(per, axis=-1)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(per),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_lookup_pyramid_l0_matches_per_level():
+    from nerf_slam_tpu.ops import corr_pallas
+    rng = np.random.RandomState(16)
+    E, C, H, W = 2, 16, 18, 20   # odd halving: crops exercise masking
+    f1 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    f2 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    levels4 = [lv.astype(jnp.bfloat16)
+               for lv in corr.build_pyramid_bf16(f1, f2, 4)]
+    vol0 = corr.build_pyramid_bf16(f1, f2, 1, pad_rows_to=8)[0]
+    coords = jnp.asarray(
+        (rng.rand(E, H, W, 2) * np.array([W + 2., H + 2.]) - 1.5
+         ).astype(np.float32))
+    dims = corr_pallas.pyramid_dims(H, W)
+    got = corr_pallas.lookup_pyramid_l0_nhwc(vol0, coords, dims,
+                                             interpret=True)
+    per = []
+    for lvl, v in enumerate(levels4):
+        per.append(corr_pallas.lookup_level_pallas_nhwc(
+            v, coords / (2 ** lvl), interpret=True))
+    per = jnp.concatenate(per, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(per),
+                               atol=3e-2, rtol=3e-2)

@@ -161,3 +161,34 @@ def test_sparse_schur_matches_dense():
     np.testing.assert_allclose(np.asarray(r_s.z_cov),
                                np.asarray(r_d.z_cov), rtol=1e-3,
                                atol=1e-6)
+
+
+def test_linearize_cm_matches_nhwc_reference():
+    import numpy as np
+    rng = np.random.RandomState(5)
+    N, H, W = 5, 6, 8
+    E, P, K = 8, 5, 5
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (N, 1))
+    poses[:, :3] = 0.2 * rng.randn(N, 3).astype(np.float32)
+    qs = rng.randn(N, 4).astype(np.float32) * 0.1
+    qs[:, 3] += 1.0
+    poses[:, 3:] = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    disps = np.clip(1.0 + 0.3 * rng.randn(N, H, W), 0.1,
+                    None).astype(np.float32)
+    intr = np.tile(np.array([8.0, 8.0, W / 2, H / 2], np.float32), (N, 1))
+    ii = np.array([0, 1, 2, 3, 1, 2])
+    jj = np.array([1, 2, 3, 4, 0, 1])
+    p = dba.plan(ii, jj, 0, N, E, P, K)
+    targets = (rng.randn(E, H, W, 2) * 2).astype(np.float32)
+    weights = np.abs(rng.rand(E, H, W, 2)).astype(np.float32)
+
+    a = dba.linearize(jnp.asarray(poses), jnp.asarray(disps),
+                      jnp.asarray(intr), jnp.asarray(targets),
+                      jnp.asarray(weights), p)
+    b = dba._linearize_nhwc_ref(jnp.asarray(poses), jnp.asarray(disps),
+                                jnp.asarray(intr), jnp.asarray(targets),
+                                jnp.asarray(weights), p)
+    for ta, tb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                                   atol=2e-4, rtol=2e-4)
