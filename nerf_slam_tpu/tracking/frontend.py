@@ -968,7 +968,10 @@ class RaftVisualFrontend:
             self.params, self.state, jnp.int32(self.last_kf_idx),
             self._normalize_dev(img_dev))
         encoded = (f, c, ci)
-        if not float(mag) > self.cfg.motion_filter_thresh:
+        # a disabled filter (thresh < 0) admits every frame without
+        # forcing the device scalar to host (one round trip per frame)
+        if (self.cfg.motion_filter_thresh >= 0
+                and not float(mag) > self.cfg.motion_filter_thresh):
             if batch.get("is_last_frame"):
                 self.kf_idx -= 1
                 self.terminate()
@@ -1052,7 +1055,8 @@ class RaftVisualFrontend:
                     seed_sensed_slot=self.kf_idx,
                     kf_dist_pair=(self.kf_idx - 2, self.kf_idx - 1))
 
-        if float(self.last_kf_dist) < cfg.keyframe_thresh:
+        if (cfg.keyframe_thresh >= 0
+                and float(self.last_kf_dist) < cfg.keyframe_thresh):
             return False
 
         self.update(use_inactive=True, n_iters=cfg.iters2)

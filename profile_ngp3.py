@@ -1,0 +1,45 @@
+"""NGP train-step cost via the real fit_volume path (state evolves, so
+the tunnel cannot dedupe; donation and arg-passing as in production)."""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_slam_tpu.fusion import NerfFusion, NerfFusionConfig
+from nerf_slam_tpu.utils.runtime import enable_compilation_cache
+
+H, W, B = 336, 640, 24
+
+
+def main():
+    enable_compilation_cache()
+    rng = np.random.RandomState(0)
+    fus = NerfFusion(NerfFusionConfig(buffer=B, height=H, width=W,
+                                      batch_rays=4096, iters_per_spin=10),
+                     seed=0)
+    ids = np.arange(8)
+    c2w = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    c2w[:, 2, 3] = np.linspace(0, 0.5, 8)
+    imgs = (rng.rand(8, H, W, 3) * 255).astype(np.uint8)
+    depths = (1.0 + rng.rand(8, H, W)).astype(np.float32)
+    covs = (0.01 * rng.rand(8, H, W)).astype(np.float32)
+    intr = np.tile(np.array([300.0, 300.0, W / 2, H / 2], np.float32),
+                   (8, 1))
+    fus.update_training_images(ids, jnp.asarray(c2w), imgs,
+                               jnp.asarray(depths), jnp.asarray(covs),
+                               jnp.asarray(intr))
+
+    loss = fus.fit_volume(2)       # compile + warm
+    float(loss)
+    for n in (10, 30):
+        t0 = time.perf_counter()
+        loss = fus.fit_volume(n)
+        float(loss)
+        dt = (time.perf_counter() - t0) * 1e3
+        print(f"fit_volume({n}): {dt:8.1f} ms total, {dt/n:6.2f} ms/iter",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
