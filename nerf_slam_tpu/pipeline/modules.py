@@ -80,7 +80,11 @@ class FusionModule(PipelineModule):
         self.extra_spins_after_done = extra_spins_after_done
         # single-chip scheduling: the reference gives mapping its own GPU
         # (slam_demo.py:63-67); sharing one chip, an unthrottled mapping
-        # busy-loop starves the tracking stream, so idle spins yield
+        # busy-loop starves the tracking stream, so idle spins yield.
+        # Chunk size is a duty-cycle knob, not a latency knob: 3-iter
+        # chunks measured 2.12 vs 2.03 kf/s but collapsed NGP throughput
+        # from ~9 to ~2.5 iters/keyframe (lock-acquisition frequency
+        # bounds mapping when tracking spins are long) -- keep 10.
         self.idle_sleep_s = idle_sleep_s
         self.done = False
         self._spins_since_done = 0
