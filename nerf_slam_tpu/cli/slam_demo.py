@@ -65,7 +65,18 @@ def build_frontend(args, image_size):
     H, Wd = image_size
     h, w = H // 8, Wd // 8
     net = DroidNet(dtype=jnp.bfloat16)
-    if args.weights:
+    if args.weights and args.weights.endswith(".npz"):
+        # nerf_slam_tpu-native checkpoint (e.g. from
+        # scripts/train_droid_synthetic.py)
+        from ..utils.checkpoint import load_arrays, unflatten_into
+        template = net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, H, Wd, 3)),
+            jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
+            jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
+            jnp.array([0]), 1)
+        flat, _ = load_arrays(args.weights)
+        params = unflatten_into(template, flat)
+    elif args.weights:
         params = W.load_droid_pth(args.weights)
     else:
         params = net.init(

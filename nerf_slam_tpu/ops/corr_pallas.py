@@ -291,9 +291,11 @@ def lookup_pyramid_l0_nhwc(vol0: jax.Array, coords: jax.Array,
         return -(-n // 128) * 128
 
     # the four unrolled levels' temporaries stack on the scoped-vmem
-    # stack (~2.2 MB per pixel-row at W1=80), so keep the slab small
+    # stack at ~40 KB per pixel (one-hots + f32/bf16 row buffers x 4
+    # levels); budget slab (double-buffered) + temporaries <= ~11 MB
     slab_unit = W1 * r8(H2p) * r128(W2) * 2
-    R = max(1, min(H1, (2 * 1024 * 1024) // max(slab_unit, 1)))
+    per_row = 2 * slab_unit + W1 * 40 * 1024
+    R = max(1, min(H1, (11 * 1024 * 1024) // max(per_row, 1)))
     while R > 1 and H1 % R:
         R -= 1
 

@@ -404,6 +404,9 @@ def solve_system(Hd, vd, Ehat, C, w, p: DBAPlan, ep=0.1, lm=1e-4,
     L = jnp.linalg.cholesky(RCMd)
     y = solve_triangular(L, rhs, lower=True)
     dx = solve_triangular(L.T, y, lower=False).reshape(P, D)
+    # Cholesky failure tolerance (reference visual_frontend.py:1167-1176,
+    # chol.py:8-18): zero step instead of NaN propagation
+    dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
 
     # dz = Q (w - E^T dx)   (EvT6x1 + accum, solve_depth_cuda)
     Etdx = jnp.einsum("pkdh,pd->kh", Ehat, dx.reshape(P, D))

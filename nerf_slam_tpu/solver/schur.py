@@ -67,5 +67,12 @@ def schur_solve(H: jax.Array, E: jax.Array, C: jax.Array, v: jax.Array,
 
     c, low = cho_factor(S)
     dx = cho_solve((c, low), rhs)
+    # failure tolerance as in the reference CholeskySolver
+    # (chol.py:8-18): a non-PSD reduced system (untrained weights early
+    # in BA-in-the-loop training) yields NaN -- return a zero step
+    # instead of poisoning the unroll
+    ok = jnp.all(jnp.isfinite(dx))
+    dx = jnp.where(ok, dx, 0.0)
     dz = Q * (wd - Ed.T @ dx)
+    dz = jnp.where(ok, dz, 0.0)
     return dx.reshape(P, D), dz.reshape(M, HW)
