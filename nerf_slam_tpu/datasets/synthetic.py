@@ -26,23 +26,32 @@ class SyntheticConfig:
     room_height: float = 2.5
     orbit_radius: float = 0.8
     seed: int = 0
+    # None: a full orbit spread over n_frames (legacy).  Set to a few
+    # degrees for realistic inter-frame motion (real indoor sequences
+    # move ~1-5 deg/frame; the full-orbit default gives 360/n_frames).
+    deg_per_frame: Optional[float] = None
+    start_deg: float = 0.0
 
 
-def _texture(p: np.ndarray, normal_axis: int) -> np.ndarray:
-    """Smooth but feature-rich RGB texture as a function of 3D position."""
+def _texture(p: np.ndarray, normal_axis: int,
+             ph=(1.7, 0.5, 2.9, 0.0)) -> np.ndarray:
+    """Smooth but feature-rich RGB texture as a function of 3D position.
+    ``ph``: per-scene phase offsets so different seeds see different
+    rooms (otherwise every "scene" shares one texture)."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    r = 0.5 + 0.25 * np.sin(3.1 * x + 1.7) * np.cos(2.3 * y)
-    g = 0.5 + 0.25 * np.sin(2.7 * y + 0.5) * np.cos(3.7 * z)
-    b = 0.5 + 0.25 * np.sin(4.1 * z + 2.9) * np.cos(1.9 * x)
+    r = 0.5 + 0.25 * np.sin(3.1 * x + ph[0]) * np.cos(2.3 * y + ph[3])
+    g = 0.5 + 0.25 * np.sin(2.7 * y + ph[1]) * np.cos(3.7 * z + ph[3])
+    b = 0.5 + 0.25 * np.sin(4.1 * z + ph[2]) * np.cos(1.9 * x + ph[3])
     # checker layer for high-frequency gradients
-    c = (np.floor(2.5 * x) + np.floor(2.5 * y) + np.floor(2.5 * z)) % 2
+    c = (np.floor(2.5 * x + ph[3]) + np.floor(2.5 * y)
+         + np.floor(2.5 * z)) % 2
     shade = 0.85 + 0.15 * (normal_axis / 2.0)
     rgb = np.stack([r + 0.15 * c, g + 0.12 * c, b + 0.1 * c], axis=-1)
     return np.clip(rgb * shade[..., None], 0.0, 1.0)
 
 
 def _render(c2w: np.ndarray, K: np.ndarray, h: int, w: int,
-            half: float, room_h: float):
+            half: float, room_h: float, ph=(1.7, 0.5, 2.9, 0.0)):
     """Ray-cast the interior of an axis-aligned box; returns (rgb, depth).
 
     Box: x,y in [-half, half], z in [0, room_h] (world frame).
@@ -77,7 +86,7 @@ def _render(c2w: np.ndarray, K: np.ndarray, h: int, w: int,
             hit_axis = np.where(better, ax, hit_axis)
 
     pts = t[None, None, :] + tmax[..., None] * dirs
-    rgb = _texture(pts, hit_axis)
+    rgb = _texture(pts, hit_axis, ph)
     # rays are parameterized with unit z-component in the camera frame, so
     # the parameter s IS the camera z-depth
     return (rgb * 255).astype(np.uint8), tmax.astype(np.float32)
@@ -108,13 +117,19 @@ class SyntheticDataset:
         f = 0.5 * c.width / np.tan(np.radians(c.fov_deg) / 2)
         self.K = np.array([f, f, c.width / 2, c.height / 2],
                           dtype=np.float32)
+        rng = np.random.RandomState(c.seed)
+        self.tex_phases = tuple(rng.uniform(0, 2 * np.pi, 4)) \
+            if c.seed else (1.7, 0.5, 2.9, 0.0)
         self.poses = self._trajectory()
 
     def _trajectory(self):
         c = self.cfg
         poses = []
         for i in range(c.n_frames):
-            a = 2 * np.pi * i / c.n_frames
+            if c.deg_per_frame is not None:
+                a = np.radians(c.start_deg + i * c.deg_per_frame)
+            else:
+                a = 2 * np.pi * i / c.n_frames
             eye = np.array([c.orbit_radius * np.cos(a),
                             c.orbit_radius * np.sin(a),
                             0.5 * c.room_height
@@ -131,7 +146,8 @@ class SyntheticDataset:
     def __getitem__(self, k: int) -> Dict:
         c = self.cfg
         rgb, depth = _render(self.poses[k], self.K, c.height, c.width,
-                             c.room_half, c.room_height)
+                             c.room_half, c.room_height,
+                             self.tex_phases)
         return {
             "k": k,
             "t_cams": float(k) / 30.0,

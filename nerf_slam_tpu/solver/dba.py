@@ -183,6 +183,19 @@ def _seg_mat(A, idx, nseg):
     return jax.ops.segment_sum(A, safe, num_segments=nseg + 1)[:nseg]
 
 
+def kx_scatter(buf, kx, k_valid, new):
+    """Write ``new[s]`` into ``buf[kx[s]]`` for VALID depth slots only.
+
+    plan.kx pads invalid slots with 0, so a plain ``buf.at[kx].set(...)``
+    makes the padded rows write index 0 TOO -- and a stale duplicate can
+    win over slot 0's real update (this silently froze keyframe 0's
+    depth state).  Invalid rows are routed out of range and dropped.
+    """
+    B = buf.shape[0]
+    safe = jnp.where(k_valid > 0, kx, B)
+    return buf.at[safe].set(new, mode="drop")
+
+
 def linearize(poses, disps, intrinsics, targets, weights, p: DBAPlan):
     """Per-edge Gauss-Newton blocks; the projective_transform_kernel
     equivalent.  Returns (Hs quadrants, vs, Eiz, Ejz, Cii, bz).
@@ -484,17 +497,19 @@ def dba_iterations(poses, disps, intrinsics, targets, weights, eta,
             dx, dz, _, _ = solve_system(Hd, vd, Ehat, C, w, p, ep, lm,
                                         E_blocks=blocks[2])
 
-        # retract poses (scatter into buffer at window slots)
+        # retract poses (scatter into buffer at window slots).  px pads
+        # by clipping at the top of the buffer, so invalid rows ALIAS the
+        # last slot -- route them out of range (same hazard as kx_scatter)
         upd = se3.retr(poses[p.px], dx)
         mask = (p.p_valid * (1 - p.p_fixed))[:, None]
         upd = jnp.where(mask > 0, upd, poses[p.px])
-        poses = poses.at[p.px].set(upd)
+        px_safe = jnp.where(p.p_valid > 0, p.px, poses.shape[0])
+        poses = poses.at[px_safe].set(upd, mode="drop")
 
         # retract depths
         dnew = disps[p.kx] + dz.reshape(K, Hh, Ww)
         dnew = jnp.maximum(dnew, 0.001)  # clamp (visual_frontend.py:1162)
-        dnew = jnp.where(p.k_valid[:, None, None] > 0, dnew, disps[p.kx])
-        disps = disps.at[p.kx].set(dnew)
+        disps = kx_scatter(disps, p.kx, p.k_valid, dnew)
         return poses, disps
 
     poses, disps = jax.lax.fori_loop(0, iters, body, (poses, disps))

@@ -67,6 +67,12 @@ class FrontendConfig:
     dsf: int = 8
     lm: float = 1e-4
     ep: float = 0.1
+    # BA depth damping = damping_scale * eta + damping_offset.  The
+    # reference frontend uses 0.2*eta + 1e-7 (visual_frontend.py:437)
+    # while its training forward feeds eta directly -- weights trained
+    # with our in-repo trainer track better with scale 1.0.
+    damping_scale: float = 0.2
+    damping_offset: float = 1e-7
     compute_covariances: bool = True
     corr_impl: str = "pallas"       # hot-loop lookup kernel:
                                     # "pallas" | "pallas_grouped" | "onehot"
@@ -411,15 +417,16 @@ class RaftVisualFrontend:
             flow_w = jnp.where(on > 0, weight, flow_w)
             hidden = jnp.where(on > 0, hidden2, hidden)
 
-            # damping buffer scatter (visual_frontend.py:411)
-            damping = damping.at[plan.kx].set(
-                jnp.where(plan.k_valid[:, None, None] > 0, eta,
-                          damping[plan.kx]))
+            # damping buffer scatter (visual_frontend.py:411);
+            # invalid (padded) kx rows are dropped, never written
+            damping = dba.kx_scatter(damping, plan.kx, plan.k_valid,
+                                     eta)
 
             targets = jnp.concatenate([flow, inactive.flow], axis=0)
             weights = jnp.concatenate([flow_w, inactive.flow_weight],
                                       axis=0)
-            eta_k = 0.2 * damping[plan.kx] + 1e-7
+            eta_k = cfg.damping_scale * damping[plan.kx] \
+                + cfg.damping_offset
             if cfg.debug_skip_dba:
                 poses = poses + 1e-9 * jnp.sum(targets)
                 disps = disps + 1e-9 * jnp.sum(weights)
@@ -450,7 +457,8 @@ class RaftVisualFrontend:
         # final linearization: covariances + diagnostics
         targets = jnp.concatenate([flow, inactive.flow], axis=0)
         weights = jnp.concatenate([flow_w, inactive.flow_weight], axis=0)
-        eta_k = 0.2 * damping[plan.kx] + 1e-7
+        eta_k = cfg.damping_scale * damping[plan.kx] \
+                + cfg.damping_offset
         blocks = dba.linearize(poses, disps, state.intrinsics, targets,
                                weights, plan)
         Hd, vd, Ehat, C, wv = dba.assemble(blocks, plan, disps, eta_k,
@@ -474,17 +482,16 @@ class RaftVisualFrontend:
                             / jnp.maximum(jnp.sum(valid) * 2.0, 1.0))
 
         # covariance export (touched keyframes only)
-        pose_cov = state.pose_cov.at[plan.px].set(
-            jnp.where(plan.p_valid[:, None, None] > 0,
-                      _cov_droid_to_gtsam(pose_cov_p),
-                      state.pose_cov[plan.px]))
-        kmask = plan.k_valid[:, None, None] > 0
-        idepths_cov = state.idepths_cov.at[plan.kx].set(
-            jnp.where(kmask, z_cov, state.idepths_cov[plan.kx]))
+        px_safe = jnp.where(plan.p_valid > 0, plan.px,
+                            state.pose_cov.shape[0])
+        pose_cov = state.pose_cov.at[px_safe].set(
+            _cov_droid_to_gtsam(pose_cov_p), mode="drop")
+        idepths_cov = dba.kx_scatter(state.idepths_cov, plan.kx,
+                                     plan.k_valid, z_cov)
         d4 = jnp.maximum(disps[plan.kx], 1e-3) ** 4
         depths_cov_k = z_cov / d4
-        depths_cov = state.depths_cov.at[plan.kx].set(
-            jnp.where(kmask, depths_cov_k, state.depths_cov[plan.kx]))
+        depths_cov = dba.kx_scatter(state.depths_cov, plan.kx,
+                                    plan.k_valid, depths_cov_k)
 
         # convex upsampling of idepths + depth covs (:444-446), using the
         # upmask from the final hidden state
@@ -493,10 +500,10 @@ class RaftVisualFrontend:
         um = upmask.transpose(0, 3, 1, 2).reshape(K, 576, h, w)
         up_d = upsample.upsample_disp(disps[plan.kx], um)
         up_c = upsample.upsample_disp(depths_cov_k, um, pow=1.0)
-        idepths_up = state.idepths_up.at[plan.kx].set(
-            jnp.where(kmask, up_d, state.idepths_up[plan.kx]))
-        depths_cov_up = state.depths_cov_up.at[plan.kx].set(
-            jnp.where(kmask, up_c, state.depths_cov_up[plan.kx]))
+        idepths_up = dba.kx_scatter(state.idepths_up, plan.kx,
+                                    plan.k_valid, up_d)
+        depths_cov_up = dba.kx_scatter(state.depths_cov_up, plan.kx,
+                                       plan.k_valid, up_c)
 
         # keyframe-rejection distance on the updated state, fused here so
         # the host's accept/reject branch costs no extra dispatch
@@ -1220,11 +1227,11 @@ class RaftVisualFrontend:
                 hidden = hidden.at[sl].set(hid_c)
                 flow = flow.at[sl].set(flow_c)
                 flow_w = flow_w.at[sl].set(flow_wc)
-                eta_buf = eta_buf.at[plan.kx].set(
-                    jnp.where(plan.k_valid[:, None, None] > 0, eta_c,
-                              eta_buf[plan.kx]))
+                eta_buf = dba.kx_scatter(eta_buf, plan.kx,
+                                         plan.k_valid, eta_c)
 
-            eta_k = 0.2 * eta_buf[plan.kx] + 1e-7
+            eta_k = cfg.damping_scale * eta_buf[plan.kx] \
+            + cfg.damping_offset
             res = dba.dba_iterations(
                 st.cam_T_world, st.idepths, st.intrinsics, flow, flow_w,
                 eta_k, st.idepths_sensed[plan.kx], plan, iters=2,

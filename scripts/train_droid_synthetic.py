@@ -28,9 +28,12 @@ def make_batch(seed, n_frames, H, W):
     from nerf_slam_tpu.geometry import se3
     from nerf_slam_tpu.models.training import TrainBatch
 
+    r = np.random.RandomState(seed + 17)
     ds = SyntheticDataset(SyntheticConfig(
         n_frames=n_frames, height=H, width=W, seed=seed,
-        orbit_radius=0.6 + 0.4 * ((seed * 2654435761) % 97) / 97.0))
+        orbit_radius=r.uniform(0.5, 1.1),
+        deg_per_frame=r.uniform(2.0, 8.0),
+        start_deg=r.uniform(0.0, 360.0)))
     imgs, poses, disps, intr = [], [], [], []
     for k in range(n_frames):
         p = ds[k]
@@ -55,7 +58,8 @@ def run_tracking_ate(params, n_frames=24, H=240, W=320):
     import jax.numpy as jnp
 
     ds = SyntheticDataset(SyntheticConfig(n_frames=n_frames, height=H,
-                                          width=W, seed=1234))
+                                          width=W, seed=1234,
+                                          deg_per_frame=4.0))
     cfg = FrontendConfig(buffer=n_frames, e_active=48, e_inactive=48,
                          p_window=n_frames, k_depth=n_frames + 4,
                          motion_filter_thresh=-1.0, keyframe_thresh=-1.0)
@@ -102,10 +106,11 @@ def main():
         jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
         jnp.array([0]), 1)
 
+    # radius-3 neighborhood, matching the frontend's __initialize graph
     ii, jj = [], []
     for a in range(N):
         for b in range(N):
-            if a != b and abs(a - b) <= 2:
+            if a != b and abs(a - b) <= 3:
                 ii.append(a)
                 jj.append(b)
     ii = jnp.asarray(np.array(ii))

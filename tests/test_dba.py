@@ -192,3 +192,43 @@ def test_linearize_cm_matches_nhwc_reference():
                       jax.tree_util.tree_leaves(b)):
         np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_padded_plan_slots_do_not_clobber_real_updates():
+    """plan.kx pads invalid slots with 0 and px clips at the top of the
+    buffer: padded scatter rows must NOT overwrite the real updates of
+    slot 0 / the last slot (regression: keyframe 0's depth was silently
+    frozen by a stale duplicate write)."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    N, H, W = 6, 6, 8
+    E, P, K = 16, 8, 10           # K > n_kf -> padded kx rows alias 0
+    poses = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32), (N, 1))
+    poses[:, 0] = 0.15 * np.arange(N)      # translation along x
+    disps = np.ones((N, H, W), np.float32)
+    intr = np.tile(np.array([8.0, 8.0, W / 2, H / 2], np.float32), (N, 1))
+    ii = np.array([0, 1, 2, 3, 4, 1, 2, 3, 4, 5])
+    jj = np.array([1, 2, 3, 4, 5, 0, 1, 2, 3, 4])
+    p = dba.plan(ii, jj, 0, N, E, P, K)
+    # targets = reprojection shifted 1px -> nonzero residual everywhere
+    coords, _, _ = camera_pt(jnp.asarray(poses), jnp.asarray(disps),
+                             jnp.asarray(intr), p.ii, p.jj)
+    targets = coords + 1.0
+    weights = 0.5 * np.ones((E, H, W, 2), np.float32)
+    eta = 1e-4 * np.ones((K, H, W), np.float32)
+    sens = np.zeros((K, H, W), np.float32)
+    res = dba.dba_iterations(
+        jnp.asarray(poses), jnp.asarray(disps), jnp.asarray(intr),
+        jnp.asarray(targets), jnp.asarray(weights), jnp.asarray(eta),
+        jnp.asarray(sens), p, iters=1, compute_covariances=False)
+    d_delta = np.abs(np.asarray(res.disps) - disps).mean(axis=(1, 2))
+    # slot 0 has source edges (0->1): its depth must move
+    assert d_delta[0] > 1e-6, d_delta
+    # the last pose in the window must move too
+    p_delta = np.abs(np.asarray(res.poses) - poses).sum(axis=1)
+    assert p_delta[N - 1] > 1e-8, p_delta
+
+
+def camera_pt(poses, disps, intr, ii, jj):
+    from nerf_slam_tpu.geometry import camera
+    return camera.projective_transform(poses, disps, intr, ii, jj)
