@@ -31,7 +31,7 @@ def make_batch(seed, n_frames, H, W):
     r = np.random.RandomState(seed + 17)
     ds = SyntheticDataset(SyntheticConfig(
         n_frames=n_frames, height=H, width=W, seed=seed,
-        orbit_radius=r.uniform(0.5, 1.1),
+        orbit_radius=r.uniform(0.7, 1.4),
         deg_per_frame=r.uniform(2.0, 8.0),
         start_deg=r.uniform(0.0, 360.0)))
     imgs, poses, disps, intr = [], [], [], []
@@ -49,8 +49,9 @@ def make_batch(seed, n_frames, H, W):
         intrinsics=jnp.asarray(np.stack(intr), np.float32))
 
 
-def run_tracking_ate(params, n_frames=24, H=240, W=320):
-    """Track a held-out synthetic sequence; return ATE-RMSE (m)."""
+def run_tracking_ate(params, n_frames=60, H=96, W=128):
+    """Track a held-out synthetic sequence with the production keyframe
+    policy (motion filter + redundancy rejection); return ATE-RMSE (m)."""
     from nerf_slam_tpu.datasets import SyntheticDataset, SyntheticConfig
     from nerf_slam_tpu.tracking import RaftVisualFrontend, FrontendConfig
     from nerf_slam_tpu.utils.evaluation import ate_rmse
@@ -59,14 +60,15 @@ def run_tracking_ate(params, n_frames=24, H=240, W=320):
 
     ds = SyntheticDataset(SyntheticConfig(n_frames=n_frames, height=H,
                                           width=W, seed=1234,
-                                          deg_per_frame=4.0))
-    cfg = FrontendConfig(buffer=n_frames, e_active=48, e_inactive=48,
-                         p_window=n_frames, k_depth=n_frames + 4,
-                         motion_filter_thresh=-1.0, keyframe_thresh=-1.0)
+                                          orbit_radius=1.2,
+                                          deg_per_frame=1.5))
+    cfg = FrontendConfig(buffer=32, e_active=48, e_inactive=48,
+                         p_window=32, k_depth=36,
+                         damping_scale=1.0, damping_offset=1e-4)
     fe = RaftVisualFrontend(params, cfg, (H, W))
     for k in range(n_frames):
         fe(k, ds[k])
-    n = fe.kf_idx + 1
+    n = min(fe.kf_idx + 1, cfg.buffer)
     est_w2c = np.asarray(fe.state.cam_T_world[:n])
     est_c2w = np.asarray(se3.matrix(se3.inv(jnp.asarray(est_w2c))))
     gt_c2w = np.asarray(fe.state.gt_poses[:n])
