@@ -61,11 +61,12 @@ def time_update(fe, n_iters, reps=6):
     L = pa["pair_a"].shape[0]
     packed = dba.pack_plan(pa, Ea + Ei, cfg.p_window, cfg.k_depth, L)
     pk = jnp.asarray(np.concatenate(
-        [packed, np.array([n_iters, -1, 0, 1], np.int32)]))
+        [packed, np.array([n_iters, -1, 0, 1, -1, 0, 0, -1],
+                          np.int32)]))
 
     def run():
-        s, e, rms, _ = fe._update_n(fe.params, fe.state, fe.edges,
-                                    fe.inactive, pk)
+        s, e, rms, _, _ = fe._update_n(fe.params, fe.state, fe.edges,
+                                       fe.inactive, pk)
         fe.state, fe.edges = s, e
         return rms
 
@@ -83,10 +84,20 @@ def main():
 
     res = {}
     import gc
-    for name, kwargs in [
-        ("fused-lookup", dict()),
+    import os
+    variants = [
+        ("baseline", dict()),
         ("skip_lookup", dict(debug_skip_lookup=True)),
-    ]:
+        ("skip_gru", dict(debug_skip_gru=True)),
+        ("skip_dba", dict(debug_skip_dba=True)),
+        ("gn1", dict(gn_iters=1)),
+        ("no_cov", dict(compute_covariances=False)),
+    ]
+    sel = os.environ.get("VARIANTS")
+    if sel:
+        want = sel.split(",")
+        variants = [v for v in variants if v[0] in want]
+    for name, kwargs in variants:
         t0 = time.time()
         fe = None
         gc.collect()

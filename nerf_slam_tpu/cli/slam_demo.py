@@ -3,8 +3,8 @@
 Flag-compatible rebuild of the reference entry point
 (/root/reference/examples/slam_demo.py:20-60): dataset selection, buffer,
 stride, fusion mode, parallel vs sequential spin.  TPU replaces the
-two-GPU split: tracking and mapping share one chip (or two via
---device_split) with async dispatch instead of CPU-bounced queues.
+two-GPU split: tracking and mapping share one chip with async dispatch
+instead of CPU-bounced queues.
 """
 from __future__ import annotations
 
@@ -36,6 +36,12 @@ def parse_args(argv=None):
     p.add_argument("--eval", action="store_true")
     p.add_argument("--gui", action="store_true",
                    help="headless render dumps instead of a window")
+    p.add_argument("--device_split", action="store_true",
+                   help="pin mapping to a second TPU device (the "
+                        "reference's two-GPU tracking||mapping split, "
+                        "slam_demo.py:63-71); handoff rides ICI")
+    p.add_argument("--viz_out", type=str, default="viz_out",
+                   help="directory for headless GUI exports")
     p.add_argument("--out", type=str, default="results.csv")
     p.add_argument("--height", type=int, default=120)
     p.add_argument("--width", type=int, default=160)
@@ -53,7 +59,8 @@ def build_dataset(args):
     return factory(args.dataset_name, args.dataset_dir,
                    n_frames=args.n_frames, height=args.height,
                    width=args.width, initial_k=args.initial_k,
-                   final_k=args.final_k, buffer=args.buffer)
+                   final_k=args.final_k, buffer=args.buffer,
+                   stereo=getattr(args, "stereo", False))
 
 
 def build_frontend(args, image_size):
@@ -86,10 +93,16 @@ def build_frontend(args, image_size):
             jnp.array([0]), 1)
         print("WARNING: no --weights given; using random network weights "
               "(tracking quality will be poor)")
+    stereo = bool(getattr(args, "stereo", False))
+    stereo_rel = getattr(args, "_stereo_rel", None)
+    kw = {}
+    if stereo and stereo_rel is not None:
+        kw["stereo_rel"] = tuple(float(v) for v in stereo_rel)
     cfg = FrontendConfig(buffer=args.buffer,
                          p_window=min(args.buffer, 32),
                          k_depth=min(args.buffer + 8, 40),
-                         global_ba=getattr(args, "global_ba", False))
+                         global_ba=getattr(args, "global_ba", False),
+                         stereo=stereo, **kw)
     return RaftVisualFrontend(params, cfg, image_size)
 
 
@@ -98,9 +111,12 @@ def build_fusion(args):
         return None, None
     if args.fusion == "nerf":
         from ..fusion import NerfFusion, NerfFusionConfig
+        from ..utils.runtime import fusion_device
         cfg = NerfFusionConfig(buffer=args.buffer, height=args.height,
-                               width=args.width)
-        return NerfFusion(cfg, seed=args.seed), "nerf"
+                               width=args.width,
+                               eval_every=200 if args.eval else 0)
+        dev = fusion_device(getattr(args, "device_split", False))
+        return NerfFusion(cfg, seed=args.seed, device=dev), "nerf"
     from ..fusion.tsdf_fusion import TsdfFusion, TsdfFusionConfig
     mask = "weighted" if args.fusion == "sigma" else "uniform"
     return TsdfFusion(TsdfFusionConfig(depth_mask_type=mask)), args.fusion
@@ -110,13 +126,18 @@ def run(args) -> dict:
     from ..utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     from ..pipeline.modules import (DataModule, EvalSink, FusionModule,
-                                    SlamModule)
+                                    GuiModule, SlamModule)
     from ..pipeline.runner import connect, run_parallel, run_sequential
     from ..utils.evaluation import ate_rmse, trajectory_from_packet
 
     dataset = build_dataset(args)
     probe = dataset[0]
     image_size = probe["images"].shape[:2]
+    if getattr(args, "stereo", False):
+        # rig calibration rides the packets (cam1_T_cam0 7-vec)
+        assert probe.get("images_right") is not None, \
+            "--stereo needs a dataset providing images_right"
+        args._stereo_rel = probe.get("stereo_rel")
 
     frontend = build_frontend(args, image_size)
     fusion, fusion_mode = build_fusion(args)
@@ -132,6 +153,15 @@ def run(args) -> dict:
         fusion_m = FusionModule(fusion, mode=fusion_mode)
         connect(slam_m, fusion_m, "slam")
         modules.insert(2, fusion_m)
+    if args.gui:
+        from ..gui.headless import HeadlessGui
+        gui_m = GuiModule(HeadlessGui(out_dir=args.viz_out))
+        connect(slam_m, gui_m, "slam")
+        if fusion_m is not None:
+            # GUI->fusion command back-channel (reference
+            # examples/slam_demo.py:124-125)
+            connect(gui_m, fusion_m, "gui")
+        modules.append(gui_m)
 
     t0 = time.time()
     if getattr(args, "profile", False):
@@ -157,16 +187,25 @@ def run(args) -> dict:
         if est.shape[0] >= 3:
             results["ate_rmse_m"] = ate_rmse(est, gt)
 
-    if args.eval and fusion is not None and sink.last_full is not None:
-        pkt = sink.last_full
-        n = min(4, int(pkt.get("viz_count",
-                               len(np.asarray(pkt["gt_poses"])))))
-        gt_imgs = np.asarray(pkt["cam0_images"])[:n]
-        gt_depths = np.asarray(pkt["gt_depths"])[:n]
-        c2ws = np.asarray(pkt["gt_poses"])[:n]
-        intr = np.asarray(pkt["cam0_intrinsics"])[:n] * 8.0
-        row = fusion.evaluate(gt_imgs, gt_depths, c2ws, intr)
-        results.update({f"fusion_{k}": v for k, v in row.items()})
+    if args.eval and fusion is not None:
+        if hasattr(fusion, "evaluate_training_views"):
+            # evaluate in the map's own frame at the (refined) training
+            # views -- immune to monocular scale/gauge drift (reference
+            # nerf_fusion.py:411 set_camera_to_training_view)
+            row = fusion.evaluate_training_views()
+            if row:
+                results.update({f"fusion_{k}": v for k, v in row.items()})
+            fusion.write_results_csv(args.out)
+        elif sink.last_full is not None:
+            pkt = sink.last_full
+            n = min(4, int(pkt.get("viz_count",
+                                   len(np.asarray(pkt["gt_poses"])))))
+            gt_imgs = np.asarray(pkt["cam0_images"])[:n]
+            gt_depths = np.asarray(pkt["gt_depths"])[:n]
+            c2ws = np.asarray(pkt["gt_poses"])[:n]
+            intr = np.asarray(pkt["cam0_intrinsics"])[:n] * 8.0
+            row = fusion.evaluate(gt_imgs, gt_depths, c2ws, intr)
+            results.update({f"fusion_{k}": v for k, v in row.items()})
 
     print(json.dumps(results))
     return results

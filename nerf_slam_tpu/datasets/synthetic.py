@@ -31,6 +31,11 @@ class SyntheticConfig:
     # move ~1-5 deg/frame; the full-orbit default gives 360/n_frames).
     deg_per_frame: Optional[float] = None
     start_deg: float = 0.0
+    # stereo: also render a rectified right camera offset `baseline`
+    # metres along +x of the camera frame; packets gain
+    # ``images_right`` (reference datasets/euroc_dataset.py:37-62)
+    stereo: bool = False
+    baseline: float = 0.1
 
 
 def _texture(p: np.ndarray, normal_axis: int,
@@ -148,7 +153,7 @@ class SyntheticDataset:
         rgb, depth = _render(self.poses[k], self.K, c.height, c.width,
                              c.room_half, c.room_height,
                              self.tex_phases)
-        return {
+        out = {
             "k": k,
             "t_cams": float(k) / 30.0,
             "poses": self.poses[k].astype(np.float32),
@@ -157,6 +162,18 @@ class SyntheticDataset:
             "intrinsics": self.K.copy(),
             "is_last_frame": k == c.n_frames - 1,
         }
+        if c.stereo:
+            c2w_r = self.poses[k].copy()
+            # right camera: +baseline along the camera x axis
+            c2w_r[:3, 3] = c2w_r[:3, 3] + c2w_r[:3, 0] * c.baseline
+            rgb_r, _ = _render(c2w_r, self.K, c.height, c.width,
+                               c.room_half, c.room_height,
+                               self.tex_phases)
+            out["images_right"] = rgb_r
+            # cam1_T_cam0 7-vec [t, q]: pure translation -baseline in x
+            out["stereo_rel"] = np.array(
+                [-c.baseline, 0, 0, 0, 0, 0, 1], np.float32)
+        return out
 
     def __iter__(self) -> Iterator[Dict]:
         for k in range(len(self)):

@@ -1,4 +1,4 @@
-"""Online NeRF fusion: uncertainty-weighted depth-supervised hash-grid NeRF.
+"""Online NeRF fusion: uncertainty-weighted depth-supervised radiance field.
 
 TPU-native rebuild of the reference NerfFusion
 (/root/reference/fusion/nerf_fusion.py), which drives an instant-ngp fork:
@@ -8,7 +8,17 @@ TPU-native rebuild of the reference NerfFusion
     (:173-183)
   - sRGB->linear conversion (:211-215), depth = 1/idepth (:205)
   - per-spin training (``fit_volume``/``frame()``, :291-307)
-  - online eval: PSNR + depth-L1(cm, outliers truncated at 2 m) (:379-485)
+  - mapping-time camera-extrinsics refinement (``optimize_extrinsics``,
+    :99): per-view SE(3) deltas optimized jointly with the field
+  - online eval at TRAINING views (``set_camera_to_training_view``,
+    :411): renders in the map's own frame, so monocular scale/gauge
+    drift cannot corrupt PSNR; PSNR + depth-L1(cm, outliers truncated
+    at 2 m) appended to ``results`` every ``eval_every`` iterations
+    (:304-306, :379-485)
+
+Packets are resized on ingest to the fusion resolution (the reference
+instead requires --height/--width to match the dataset), so any SLAM
+resolution feeds any fusion config.
 
 The NGP itself is ours (fusion/ngp.py): hash encode + bf16 MLPs + volume
 rendering in one jitted Adam step.  Scene coordinates are normalized by
@@ -17,6 +27,7 @@ so supervised depths compare directly.
 """
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional
@@ -28,6 +39,7 @@ import optax
 
 from .ngp import (NGPConfig, NGPParams, init_ngp, render_rays,
                   sample_along_rays)
+from ..geometry import se3
 
 
 def srgb_to_linear(img: jax.Array) -> jax.Array:
@@ -57,7 +69,33 @@ class NerfFusionConfig:
     # scene normalization: unit = (world - offset) * scale
     scale: float = 0.25
     offset: tuple = (0.5, 0.5, 0.5)
-    eval_every: int = 200             # iterations between eval rows
+    eval_every: int = 0               # iterations between results rows
+                                      # (0 disables online eval; the CLI
+                                      # sets 200 under --eval, matching
+                                      # the reference :304-306)
+    eval_views: int = 8               # views per online-eval row
+    # mapping-time extrinsics refinement (reference nerf_fusion.py:99):
+    # per-view SE(3) deltas on the training poses, optimized in
+    # coordinate descent with the field.  Default OFF (the reference
+    # defaults on): measured here, refinement only converges when the
+    # field formed near the true poses -- pose gradients against a field
+    # co-adapted to wrong poses are directionally uninformative (cosine
+    # ~0.05 with the true error direction), so switching it on only
+    # helps when SLAM poses are already good, and costs ~15% step time.
+    optimize_extrinsics: bool = False
+    extrinsics_lr: float = 1e-3
+    extrinsics_start: int = 500   # iterations before pose opt engages
+                                  # (early field is too noisy to trust)
+    # coordinate-descent schedule: after `extrinsics_start`, each
+    # `extrinsics_period`-iteration cycle ends with
+    # `extrinsics_pose_iters` POSE-ONLY steps (field frozen).  Joint
+    # simultaneous updates diverge: the field co-adapts to the wrong
+    # poses until the mean pose gradient is below Adam's noise floor.
+    # Measured recovery from 0.01-rad/unit perturbations on a formed
+    # field: pose-only phases (period == pose_iters) cut pose error 10x
+    # in 200 iters; interleaving field updates 1:1 stalls at ~1.3x.
+    extrinsics_period: int = 100
+    extrinsics_pose_iters: int = 25
 
 
 class TrainSet(NamedTuple):
@@ -66,6 +104,7 @@ class TrainSet(NamedTuple):
     images: jax.Array       # (N, H, W, 3) linear RGB fp32
     depths: jax.Array       # (N, H, W) z-depth in normalized units, <0 invalid
     depths_cov: jax.Array   # (N, H, W) depth variance (normalized units^2)
+    gt_depths: jax.Array    # (N, H, W) GT z-depth (normalized), eval only
     intrinsics: jax.Array   # (N, 4)
     valid: jax.Array        # (N,) 0/1
 
@@ -73,13 +112,22 @@ class TrainSet(NamedTuple):
 class NerfFusion:
     """Mapping module; API mirrors the reference class."""
 
-    def __init__(self, cfg: NerfFusionConfig, seed: int = 0):
+    def __init__(self, cfg: NerfFusionConfig, seed: int = 0,
+                 device=None):
+        """``device``: optional jax.Device pinning ALL mapping state and
+        compute (the reference's second GPU, slam_demo.py:63-71); SLAM
+        packets are device_put across ICI on ingest."""
         self.cfg = cfg
+        self.device = device
         key = jax.random.PRNGKey(seed)
         self.params, self.field = init_ngp(key, cfg.ngp)
         lr = cfg.ngp.pe_lr if cfg.ngp.encoding == "pe" else cfg.ngp.lr
         self.opt = optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
         self.opt_state = self.opt.init(self.params)
+        # per-view SE(3) pose deltas (right-perturbation of c2w)
+        self.pose_deltas = jnp.zeros((cfg.buffer, 6), jnp.float32)
+        self.pose_opt = optax.adam(cfg.extrinsics_lr)
+        self.pose_opt_state = self.pose_opt.init(self.pose_deltas)
         self.key = jax.random.PRNGKey(seed + 1)
         self.iteration = 0
 
@@ -89,47 +137,95 @@ class NerfFusion:
             images=jnp.zeros((N, H, W, 3), jnp.float32),
             depths=-jnp.ones((N, H, W), jnp.float32),
             depths_cov=jnp.ones((N, H, W), jnp.float32),
+            gt_depths=-jnp.ones((N, H, W), jnp.float32),
             intrinsics=jnp.ones((N, 4), jnp.float32),
             valid=jnp.zeros((N,), jnp.float32))
-        self.results = []   # eval rows (iteration, psnr, depth_l1_cm)
+        self.results = []   # eval rows (iteration, wall_s, psnr, l1)
         self.has_data = False  # host-side flag (avoids device syncs)
+        self._t0 = None        # wall-clock origin for results rows
+
+        if device is not None:
+            put = lambda t: jax.device_put(t, device)
+            self.params = jax.tree.map(put, self.params)
+            self.opt_state = jax.tree.map(put, self.opt_state)
+            self.pose_deltas = put(self.pose_deltas)
+            self.pose_opt_state = jax.tree.map(put, self.pose_opt_state)
+            self.train_set = jax.tree.map(put, self.train_set)
+            self.key = put(self.key)
 
     # ------------------------------------------------------------------
     # data ingestion
     # ------------------------------------------------------------------
     def update_training_images(self, ids, c2w, images_srgb_u8, depths,
-                               depths_cov, intrinsics):
+                               depths_cov, intrinsics, gt_depths=None):
         """Scatter new/updated training views into the preallocated set.
 
         c2w: (n, 4, 4) world_T_cam in *world* units; depths: (n, H, W)
         z-depth in world units (<0 invalid); depths_cov: variance in
-        world units^2.
+        world units^2.  Inputs at a different (H, W) are resized to the
+        fusion resolution (intrinsics rescaled to match).
         """
         cfg = self.cfg
-        ids = jnp.asarray(np.asarray(ids, np.int32))
-        s = cfg.scale
-        off = jnp.asarray(cfg.offset, jnp.float32)
+        ids_np = np.asarray(ids, np.int32)
+        dev = self.device
 
-        c2w = jnp.asarray(c2w, jnp.float32)
+        def up(x, dtype):
+            x = jnp.asarray(x, dtype)
+            # cross-device ingest (dev0 SLAM packets -> mapping device):
+            # one explicit ICI transfer, never a CPU bounce (the
+            # reference's multi-GPU path bounces via the CPU,
+            # visual_frontend.py:1355-1360)
+            return jax.device_put(x, dev) if dev is not None else x
+
+        ids = up(ids_np, jnp.int32)
+        img = up(images_srgb_u8, jnp.float32) / 255.0
+        d = up(depths, jnp.float32)
+        dc = up(depths_cov, jnp.float32)
+        gtd = (up(gt_depths, jnp.float32) if gt_depths is not None
+               else -jnp.ones_like(d))
+        intr = up(intrinsics, jnp.float32)
+
+        in_h, in_w = img.shape[1:3]
+        if (in_h, in_w) != (cfg.height, cfg.width):
+            n = img.shape[0]
+            img = jax.image.resize(img, (n, cfg.height, cfg.width, 3),
+                                   "linear")
+            # nearest for depth-like maps: bilinear would blend the
+            # invalid (-1) sentinel into valid neighbours
+            d = jax.image.resize(d, (n, cfg.height, cfg.width), "nearest")
+            dc = jax.image.resize(dc, (n, cfg.height, cfg.width),
+                                  "nearest")
+            gtd = jax.image.resize(gtd, (n, cfg.height, cfg.width),
+                                   "nearest")
+            sx = cfg.width / in_w
+            sy = cfg.height / in_h
+            intr = intr * jnp.asarray([sx, sy, sx, sy], jnp.float32)
+
+        s = cfg.scale
+        off = up(np.asarray(cfg.offset, np.float32), jnp.float32)
+        c2w = up(c2w, jnp.float32)
         c2w_n = c2w.at[:, :3, 3].set(c2w[:, :3, 3] * s + off)
 
-        img = jnp.asarray(images_srgb_u8, jnp.float32) / 255.0
         img = srgb_to_linear(img)
-
-        d = jnp.asarray(depths, jnp.float32)
         d_n = jnp.where(d > 0, d * s, -1.0)
-        dc = jnp.asarray(depths_cov, jnp.float32) * (s * s)
+        gtd_n = jnp.where(gtd > 0, gtd * s, -1.0)
+        dc_n = dc * (s * s)
 
         ts = self.train_set
         self.train_set = TrainSet(
             c2w=ts.c2w.at[ids].set(c2w_n),
             images=ts.images.at[ids].set(img),
             depths=ts.depths.at[ids].set(d_n),
-            depths_cov=ts.depths_cov.at[ids].set(dc),
-            intrinsics=ts.intrinsics.at[ids].set(
-                jnp.asarray(intrinsics, jnp.float32)),
+            depths_cov=ts.depths_cov.at[ids].set(dc_n),
+            gt_depths=ts.gt_depths.at[ids].set(gtd_n),
+            intrinsics=ts.intrinsics.at[ids].set(intr),
             valid=ts.valid.at[ids].set(1.0))
+        # fresh SLAM poses supersede any refined deltas for these views
+        if self.cfg.optimize_extrinsics:
+            self.pose_deltas = self.pose_deltas.at[ids].set(0.0)
         self.has_data = True
+        if self._t0 is None:
+            self._t0 = time.time()
 
     def fuse(self, packet: Optional[Dict[str, Any]]) -> bool:
         """Consume one SLAM viz packet (process_slam equivalent).
@@ -153,13 +249,13 @@ class NerfFusion:
             ids = np.concatenate(
                 [ids, np.full(V - ids.shape[0], ids[-1], ids.dtype)])
 
-        from ..geometry import se3
         poses7 = jnp.asarray(packet["cam0_poses"])     # cam_T_world 7-vec
         c2w = se3.matrix(se3.inv(poses7))
 
         images = packet["cam0_images"]                 # (V, H, W, 3) u8
         idepths_up = jnp.asarray(packet["cam0_idepths_up"])
         depths_cov_up = jnp.asarray(packet["cam0_depths_cov_up"])
+        gt_depths = packet.get("gt_depths")
 
         # uncertainty masking (reference :173-183)
         if cfg.mask_type == "ours":
@@ -180,14 +276,22 @@ class NerfFusion:
 
         intr = jnp.asarray(packet["cam0_intrinsics"]) * 8.0  # full-res
         self.update_training_images(ids, c2w, images, depths,
-                                    depths_cov_up, intr)
+                                    depths_cov_up, intr,
+                                    gt_depths=gt_depths)
         return bool(packet.get("is_last_frame", False))
 
     # ------------------------------------------------------------------
     # training
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def _train_step(self, params, opt_state, train_set: TrainSet, key):
+    def _refined_c2w(self, deltas, c2w):
+        """Apply per-view SE(3) right-perturbations to c2w matrices."""
+        dmat = se3.matrix(se3.exp(deltas))              # (N, 4, 4)
+        return jnp.einsum("nij,njk->nik", c2w, dmat)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3, 4))
+    def _train_step(self, params, deltas, opt_state, pose_opt_state,
+                    train_set: TrainSet, key, pose_enable,
+                    field_enable):
         cfg = self.cfg
         R = cfg.batch_rays
         kimg, kuv, ksamp = jax.random.split(key, 3)
@@ -202,53 +306,100 @@ class NerfFusion:
         xi = jnp.round(px).astype(jnp.int32)
         yi = jnp.round(py).astype(jnp.int32)
 
-        c2w = train_set.c2w[img_idx]
         intr = train_set.intrinsics[img_idx]
         fx, fy, cx, cy = jnp.moveaxis(intr, -1, 0)
         dirs_cam = jnp.stack([(xi + 0.5 - cx) / fx,
                               (yi + 0.5 - cy) / fy,
                               jnp.ones((R,))], axis=-1)
-        dirs = jnp.einsum("rij,rj->ri", c2w[:, :3, :3],
-                          dirs_cam) * cfg.scale
-        origins = c2w[:, :3, 3]
 
         tgt_rgb = train_set.images[img_idx, yi, xi]
         tgt_depth = train_set.depths[img_idx, yi, xi]
         tgt_cov = train_set.depths_cov[img_idx, yi, xi]
         d_valid = (tgt_depth > 0).astype(jnp.float32)
 
-        t = sample_along_rays(ksamp, origins, dirs, tgt_depth, d_valid,
-                              cfg.ngp)
-
-        def loss_fn(params):
+        def loss_fn(params, deltas):
+            if cfg.optimize_extrinsics:
+                c2w_all = self._refined_c2w(deltas, train_set.c2w)
+            else:
+                c2w_all = train_set.c2w
+            c2w = c2w_all[img_idx]
+            # dirs deliberately NOT unit-normalized and NOT scaled: with
+            # unit-z camera dirs, t is the z-depth in NORMALIZED map
+            # units, matching the supervised depths (train_set.depths)
+            dirs = jnp.einsum("rij,rj->ri", c2w[:, :3, :3], dirs_cam)
+            origins = c2w[:, :3, 3]
+            t = sample_along_rays(ksamp, jax.lax.stop_gradient(origins),
+                                  jax.lax.stop_gradient(dirs),
+                                  tgt_depth, d_valid, cfg.ngp)
             rgb, depth, acc, _ = render_rays(params, self.field, cfg.ngp,
                                              origins, dirs, t)
             l_rgb = jnp.mean((rgb - tgt_rgb) ** 2)
+            # acc-normalized expected depth: raw sum(w*t) under-estimates
+            # by the missing tail mass (1-acc), a bias pose optimization
+            # would otherwise absorb by systematically pulling every
+            # camera backward along its optical axis
+            depth = depth / jnp.maximum(acc, 0.25)
             w = d_valid / (tgt_cov / (cfg.scale ** 2) + 1e-2)
-            l_d = jnp.sum(w * (depth - tgt_depth) ** 2) / \
-                jnp.maximum(jnp.sum(d_valid), 1.0)
-            loss = cfg.ngp.rgb_weight * l_rgb + cfg.ngp.depth_weight * l_d
+            nv = jnp.maximum(jnp.sum(d_valid), 1.0)
+            l_d = jnp.sum(w * (depth - tgt_depth) ** 2) / nv
+            # opacity supervision: without it the normalized depth loss
+            # has a degenerate optimum at partial opacity (measured:
+            # acc settles ~0.5, raw depth 2x short); rays that hit a
+            # sensed surface must saturate
+            l_acc = jnp.sum(d_valid * (1.0 - acc) ** 2) / nv
+            loss = (cfg.ngp.rgb_weight * l_rgb
+                    + cfg.ngp.depth_weight * (l_d + l_acc))
             return loss, (l_rgb, l_d)
 
         (loss, (l_rgb, l_d)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, opt_state = self.opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, l_rgb, l_d
+            loss_fn, argnums=(0, 1), has_aux=True)(params, deltas)
+        updates, opt_state = self.opt.update(grads[0], opt_state, params)
+        # field_enable (0/1) freezes the field during pose-only phases:
+        # joint simultaneous updates measurably DIVERGE (the field
+        # co-adapts to wrong poses and the mean pose gradient collapses
+        # to Adam-noise level); coordinate descent converges
+        params = optax.apply_updates(
+            params, jax.tree.map(lambda u: u * field_enable, updates))
+        if cfg.optimize_extrinsics:
+            # keep the first view pinned: it anchors the map gauge;
+            # pose_enable (0/1) delays refinement until the field has
+            # formed (cfg.extrinsics_start)
+            dgrad = grads[1].at[0].set(0.0) * pose_enable
+            dupd, pose_opt_state = self.pose_opt.update(
+                dgrad, pose_opt_state, deltas)
+            deltas = optax.apply_updates(deltas, dupd * pose_enable)
+        return (params, deltas, opt_state, pose_opt_state, loss, l_rgb,
+                l_d)
 
     def fit_volume(self, iters: Optional[int] = None):
         """Run training iterations; returns the last loss as a DEVICE
         scalar (fetching it forces a sync -- callers that only train
-        should not convert)."""
+        should not convert).  Appends a results row every
+        ``cfg.eval_every`` iterations (reference :304-306)."""
         iters = iters or self.cfg.iters_per_spin
         if not self.has_data:
             return 0.0
+        every = self.cfg.eval_every
         loss = 0.0
+        cfg = self.cfg
         for _ in range(iters):
             self.key, sub = jax.random.split(self.key)
-            self.params, self.opt_state, loss, _, _ = self._train_step(
-                self.params, self.opt_state, self.train_set, sub)
+            started = (cfg.optimize_extrinsics
+                       and self.iteration >= cfg.extrinsics_start)
+            pose_phase = (started and (self.iteration - cfg.extrinsics_start)
+                          % cfg.extrinsics_period
+                          >= cfg.extrinsics_period
+                          - cfg.extrinsics_pose_iters)
+            (self.params, self.pose_deltas, self.opt_state,
+             self.pose_opt_state, loss, _, _) = self._train_step(
+                self.params, self.pose_deltas, self.opt_state,
+                self.pose_opt_state, self.train_set, sub,
+                jnp.float32(pose_phase),
+                jnp.float32(not pose_phase))
             self.iteration += 1
+            if every > 0 and self.iteration % every == 0:
+                self.evaluate_training_views(
+                    max_views=self.cfg.eval_views)
         return loss
 
     # ------------------------------------------------------------------
@@ -266,15 +417,45 @@ class NerfFusion:
                               (yy + 0.5 - cy) / fy,
                               jnp.ones_like(xx, jnp.float32)], axis=-1)
         R = dirs_cam.reshape(-1, 3).shape[0]
-        dirs = dirs_cam.reshape(-1, 3) @ c2w[:3, :3].T * cfg.scale
+        # unit-z camera dirs, unscaled: t = z-depth in normalized units
+        dirs = dirs_cam.reshape(-1, 3) @ c2w[:3, :3].T
         origins = jnp.broadcast_to(c2w[:3, 3], (R, 3))
         t = sample_along_rays(key, origins, dirs,
                               jnp.zeros((R,)), jnp.zeros((R,)), cfg.ngp)
         rgb, depth, acc, _ = render_rays(params, self.field, cfg.ngp,
                                          origins, dirs, t)
+        # conditional expected depth (normalize out the missed tail
+        # mass); a saturated ray (acc ~ 1) is unchanged
+        depth = depth / jnp.maximum(acc, 0.25)
         n = ys.shape[0]
         return (rgb.reshape(n, W, 3), depth.reshape(n, W),
                 acc.reshape(n, W))
+
+    def _render_normalized(self, c2w_n: np.ndarray, intrinsics,
+                           rows_per_chunk: int = 40):
+        """Render at a pose already in the normalized map frame.
+        Returns (srgb rgb [H,W,3] in [0,1], depth in normalized units)."""
+        cfg = self.cfg
+        H = cfg.height
+        rgb_rows, d_rows = [], []
+        key = jax.random.PRNGKey(0)
+        for y0 in range(0, H, rows_per_chunk):
+            ys = jnp.arange(y0, min(y0 + rows_per_chunk, H))
+            pad = 0
+            if ys.shape[0] < rows_per_chunk:   # pad for static shape
+                pad = rows_per_chunk - ys.shape[0]
+                ys = jnp.concatenate([ys, jnp.full((pad,), H - 1)])
+            rgb, d, acc = self._render_rows(
+                self.params, jnp.asarray(c2w_n, jnp.float32),
+                jnp.asarray(intrinsics, jnp.float32), key, ys)
+            if pad:
+                rgb, d = rgb[:-pad], d[:-pad]
+            rgb_rows.append(rgb)
+            d_rows.append(d)
+        rgb = np.asarray(jnp.concatenate(rgb_rows, 0))
+        depth = np.asarray(jnp.concatenate(d_rows, 0))
+        rgb = np.clip(np.asarray(linear_to_srgb(jnp.asarray(rgb))), 0, 1)
+        return rgb, depth
 
     def render_image(self, c2w_world: np.ndarray, intrinsics: np.ndarray,
                      rows_per_chunk: int = 40):
@@ -283,33 +464,123 @@ class NerfFusion:
         cfg = self.cfg
         c2w = np.asarray(c2w_world, np.float32).copy()
         c2w[:3, 3] = c2w[:3, 3] * cfg.scale + np.asarray(cfg.offset)
-        H = cfg.height
-        rgb_rows, d_rows = [], []
-        key = jax.random.PRNGKey(0)
-        for y0 in range(0, H, rows_per_chunk):
-            ys = jnp.arange(y0, min(y0 + rows_per_chunk, H))
-            if ys.shape[0] < rows_per_chunk:   # pad for static shape
-                pad = rows_per_chunk - ys.shape[0]
-                ys = jnp.concatenate([ys, jnp.full((pad,), H - 1)])
-                rgb, d, acc = self._render_rows(
-                    self.params, jnp.asarray(c2w),
-                    jnp.asarray(intrinsics, jnp.float32), key, ys)
-                rgb, d = rgb[:-pad], d[:-pad]
-            else:
-                rgb, d, acc = self._render_rows(
-                    self.params, jnp.asarray(c2w),
-                    jnp.asarray(intrinsics, jnp.float32), key, ys)
-            rgb_rows.append(rgb)
-            d_rows.append(d)
-        rgb = np.asarray(jnp.concatenate(rgb_rows, 0))
-        depth = np.asarray(jnp.concatenate(d_rows, 0)) / cfg.scale
-        return np.clip(np.asarray(linear_to_srgb(jnp.asarray(rgb))),
-                       0, 1), depth
+        rgb, depth = self._render_normalized(c2w, intrinsics,
+                                             rows_per_chunk)
+        return rgb, depth / cfg.scale
+
+    def render_training_view(self, i: int, rows_per_chunk: int = 40):
+        """Render at training view i's (refined) pose, in the map frame
+        (reference set_camera_to_training_view, nerf_fusion.py:411)."""
+        ts = self.train_set
+        c2w = ts.c2w[i:i + 1]
+        if self.cfg.optimize_extrinsics:
+            c2w = self._refined_c2w(self.pose_deltas[i:i + 1], c2w)
+        return self._render_normalized(np.asarray(c2w[0]),
+                                       np.asarray(ts.intrinsics[i]),
+                                       rows_per_chunk)
+
+    def evaluate_training_views(self, max_views: int = 8):
+        """PSNR + depth-L1(cm) at training views -- the map's own frame,
+        immune to monocular scale/gauge drift (reference eval_gt_traj at
+        set_camera_to_training_view, :379-485).  Appends a results row.
+
+        depth_l1 compares against GT depth when packets carried it;
+        depth_l1_aligned additionally median-scales the rendered depth
+        to GT (monocular runs have a free global scale)."""
+        cfg = self.cfg
+        valid = np.asarray(self.train_set.valid)
+        idx = np.nonzero(valid > 0)[0]
+        if idx.size == 0:
+            return None
+        if idx.size > max_views:
+            idx = idx[np.linspace(0, idx.size - 1, max_views).astype(int)]
+        psnrs, l1s, l1s_aligned = [], [], []
+        imgs = np.asarray(self.train_set.images[jnp.asarray(idx)])
+        gtds = np.asarray(self.train_set.gt_depths[jnp.asarray(idx)])
+        for j, i in enumerate(idx):
+            rgb, depth = self.render_training_view(int(i))
+            gt = np.clip(np.asarray(
+                linear_to_srgb(jnp.asarray(imgs[j]))), 0, 1)
+            mse = float(np.mean((rgb - gt) ** 2))
+            psnrs.append(mse2psnr(mse))
+            gtd = gtds[j] / cfg.scale          # back to world units
+            dep = depth / cfg.scale
+            ok = gtd > 0
+            if ok.any():
+                err = np.abs(dep - gtd)[ok]
+                err = err[err < 2.0]           # truncate outliers at 2 m
+                if err.size:
+                    l1s.append(float(err.mean()) * 100.0)
+                s = np.median(gtd[ok]) / max(np.median(dep[ok]), 1e-6)
+                err_a = np.abs(dep * s - gtd)[ok]
+                err_a = err_a[err_a < 2.0]
+                if err_a.size:
+                    l1s_aligned.append(float(err_a.mean()) * 100.0)
+        row = {"iteration": self.iteration,
+               "wall_s": (round(time.time() - self._t0, 2)
+                          if self._t0 else 0.0),
+               "psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+               "depth_l1_cm": (float(np.mean(l1s)) if l1s
+                               else float("nan")),
+               "depth_l1_aligned_cm": (float(np.mean(l1s_aligned))
+                                       if l1s_aligned else float("nan"))}
+        self.results.append(row)
+        return row
+
+    def write_results_csv(self, path: str):
+        """results.csv with one row per online eval (reference
+        :304-306); consumed by scripts/convergence_plots.py."""
+        cols = ["iteration", "wall_s", "psnr", "depth_l1_cm",
+                "depth_l1_aligned_cm"]
+        with open(path, "w") as f:
+            f.write(",".join(cols) + "\n")
+            for row in self.results:
+                f.write(",".join(str(row.get(c, "")) for c in cols)
+                        + "\n")
+
+    def extract_mesh(self, path: str = "fusion_mesh.obj",
+                     resolution: int = 128, iso: float = 10.0,
+                     chunk: int = 8):
+        """Density iso-surface mesh (the GUI's 'M' mesh-build command;
+        reference builds from the TSDF, gui/open3d_gui.py:181-185 --
+        here the radiance field's density is marched directly).
+        Returns (verts world-frame, faces)."""
+        from .ngp import query
+        from . import mesher
+        cfg = self.cfg
+        n = resolution
+        xs = (np.arange(n) + 0.5) / n
+        sdf = np.empty((n, n, n), np.float32)
+        dirs = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0]), (n * n, 3))
+        for z0 in range(0, n, chunk):
+            zc = min(chunk, n - z0)
+            g = np.stack(np.meshgrid(xs[z0:z0 + zc], xs, xs,
+                                     indexing="ij"), axis=-1)
+            pos = jnp.asarray(g.reshape(-1, 3)[:, ::-1].copy())  # x,y,z
+            if self.device is not None:
+                pos = jax.device_put(pos, self.device)
+            sig = []
+            for i in range(zc):
+                s, _ = query(self.params, self.field, cfg.ngp,
+                             pos[i * n * n:(i + 1) * n * n], dirs)
+                sig.append(np.asarray(s))
+            sdf[z0:z0 + zc] = (iso - np.stack(sig).reshape(zc, n, n))
+        verts, faces = mesher.marching_tetrahedra(sdf)
+        if verts.shape[0]:
+            # grid index (z, y, x) -> unit cube -> world
+            verts = verts[:, ::-1] / n
+            verts = (verts - np.asarray(cfg.offset)) / cfg.scale
+            if path:
+                mesher.write_obj(path, verts, faces)
+        return verts, faces
 
     def evaluate(self, gt_images_u8, gt_depths, c2ws, intrinsics,
                  max_views: int = 8):
-        """PSNR + depth-L1(cm) over provided views
-        (eval_gt_traj equivalent, reference :379-485)."""
+        """PSNR + depth-L1(cm) over externally provided world-frame
+        views.  NOTE: for monocular runs the map frame differs from the
+        GT frame by a similarity -- align c2ws first or prefer
+        evaluate_training_views."""
         psnrs, l1s = [], []
         n = min(len(c2ws), max_views)
         for i in range(n):

@@ -218,10 +218,7 @@ class TsdfFusion:
                 jnp.zeros((H, W, 3)), jnp.zeros((H, W), bool))
         (last, hit_t, hit_col, found), _ = jax.lax.scan(body, init, ts)
 
-        depth = jnp.where(found, hit_t * dirs_cam[..., 2]
-                          / jnp.linalg.norm(dirs_cam, axis=-1)
-                          * jnp.linalg.norm(dirs, axis=-1), 0.0)
-        # dirs has unit z in cam frame -> t is z-depth already
+        # dirs has unit z in the camera frame, so t IS the z-depth
         depth = jnp.where(found, hit_t, 0.0)
         return hit_col, depth
 

@@ -18,6 +18,8 @@ covariance-output boundary.)
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -106,7 +108,8 @@ def actp(Gij: jax.Array, X0: jax.Array, jacobian: bool = False):
 def projective_transform(poses: jax.Array, disps: jax.Array,
                          intrinsics: jax.Array, ii: jax.Array,
                          jj: jax.Array, jacobian: bool = False,
-                         return_depth: bool = False):
+                         return_depth: bool = False,
+                         stereo_rel: Optional[jax.Array] = None):
     """Map pixels of keyframes ii into keyframes jj.
 
     Returns (coords (E,H,W,2[,3]), valid (E,H,W,1), (Ji, Jj, Jz)) where
@@ -114,9 +117,15 @@ def projective_transform(poses: jax.Array, disps: jax.Array,
     cam_T_world[ii] / cam_T_world[jj], and Jz is (E,H,W,2,1) wrt the
     source inverse depth.  Mirrors projective_ops.py:98-145 minus the
     GTSAM reordering.
+
+    ``stereo_rel``: optional (7,) cam1_T_cam0 rig pose; edges with
+    ii == jj are STEREO edges whose relative pose is pinned to it
+    (reference projective_ops.py:100-110, droid_kernels.cu:248-258).
     """
     X0 = iproj(disps[ii], intrinsics[ii])
     Gij = se3.relpose(poses[ii], poses[jj])
+    if stereo_rel is not None:
+        Gij = jnp.where((ii == jj)[:, None], stereo_rel[None, :], Gij)
     X1, Ja = actp(Gij, X0, jacobian=jacobian)
     x1, Jp = proj(X1, intrinsics[jj], jacobian=jacobian,
                   return_depth=return_depth)
@@ -143,7 +152,8 @@ def projective_transform(poses: jax.Array, disps: jax.Array,
     return x1, valid, (Ji, Jj, Jz)
 
 
-def projective_transform_cm(poses, disps, intrinsics, ii, jj):
+def projective_transform_cm(poses, disps, intrinsics, ii, jj,
+                            stereo_rel: Optional[jax.Array] = None):
     """Channel-major projective transform with analytic Jacobians.
 
     Same math as :func:`projective_transform` (jacobian=True), but every
@@ -179,6 +189,10 @@ def projective_transform_cm(poses, disps, intrinsics, ii, jj):
     X0y = (gy - cy_i) / fy_i
 
     Gij = se3.relpose(poses[ii], poses[jj])              # (E, 7)
+    if stereo_rel is not None:
+        # stereo edges (ii == jj): rig-calibrated relative pose
+        # (droid_kernels.cu:248-258 pins tij/qij to the baseline)
+        Gij = jnp.where((ii == jj)[:, None], stereo_rel[None, :], Gij)
     t = Gij[:, :3]
     q = Gij[:, 3:7]
     R = se3.quat_to_matrix(q)                            # (E, 3, 3)

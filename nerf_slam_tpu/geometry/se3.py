@@ -176,12 +176,13 @@ def exp_so3(phi: jax.Array) -> jax.Array:
     reference expSO3 (droid_kernels.cu:123-145)."""
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
     theta_p4 = theta_sq * theta_sq
-    theta = jnp.sqrt(theta_sq)
     small = theta_sq < 1e-8
     imag_small = 0.5 - (1.0 / 48.0) * theta_sq + (1.0 / 3840.0) * theta_p4
     real_small = 1.0 - (1.0 / 8.0) * theta_sq + (1.0 / 384.0) * theta_p4
-    # guard the division for the small branch (select keeps grads clean)
-    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
+    # guard INSIDE the sqrt: d(sqrt)/dx at 0 is inf, and inf * 0 = NaN
+    # would leak through the where-select into gradients at phi = 0
+    theta_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(theta_sq),
+                                    theta_sq))
     imag_big = jnp.sin(0.5 * theta_safe) / theta_safe
     real_big = jnp.cos(0.5 * theta_safe)
     imag = jnp.where(small, imag_small, imag_big)
@@ -194,10 +195,10 @@ def exp(xi: jax.Array) -> jax.Array:
     tau, phi = xi[..., :3], xi[..., 3:6]
     q = exp_so3(phi)
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
-    small = theta < 1e-4
+    small = theta_sq < 1e-8
+    # sqrt guarded inside (see exp_so3): keeps grads finite at xi = 0
     theta_sq_safe = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
-    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
+    theta_safe = jnp.sqrt(theta_sq_safe)
     # V(theta) tau = tau + a (phi x tau) + b (phi x (phi x tau))
     a = jnp.where(small, 0.5 - theta_sq / 24.0,
                   (1.0 - jnp.cos(theta_safe)) / theta_sq_safe)
@@ -217,10 +218,13 @@ def log_so3(q: jax.Array) -> jax.Array:
     sign = jnp.where(qw < 0, -1.0, 1.0)
     qv = qv * sign
     qw = qw * sign
-    n = jnp.linalg.norm(qv, axis=-1, keepdims=True)
-    small = n < 1e-8
-    n_safe = jnp.where(small, jnp.ones_like(n), n)
-    angle = 2.0 * jnp.arctan2(n, qw)
+    n_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
+    small = n_sq < 1e-16
+    # sqrt guarded inside (see exp_so3): finite grads at identity
+    n_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(n_sq), n_sq))
+    # the small branch of `scale` never consumes `angle`, so n_safe can
+    # stand in for n everywhere
+    angle = 2.0 * jnp.arctan2(n_safe, qw)
     scale = jnp.where(small, 2.0 / jnp.maximum(qw, 1e-8), angle / n_safe)
     return scale * qv
 
@@ -230,10 +234,10 @@ def log(g: jax.Array) -> jax.Array:
     t = g[..., :3]
     phi = log_so3(g[..., 3:7])
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
-    small = theta < 1e-4
+    small = theta_sq < 1e-8
+    # sqrt guarded inside (see exp_so3): finite grads at identity
     theta_sq_safe = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
-    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
+    theta_safe = jnp.sqrt(theta_sq_safe)
     half = 0.5 * theta_safe
     # V^{-1} = I - 1/2 [phi]_x + e [phi]_x^2 with
     # e = (1 - theta/2 * cot(theta/2)) / theta^2

@@ -77,14 +77,40 @@ class HeadlessGui:
     """Drop-in GuiModule payload (reference gui/gui_module.py)."""
 
     def __init__(self, out_dir: str = "viz_out", sigma_thresh: float = 10.0,
-                 export_every: int = 10, max_cloud_points: int = 500000):
+                 export_every: int = 10, max_cloud_points: int = 500000,
+                 end_commands=("mesh", "eval")):
         self.out_dir = out_dir
         self.sigma_thresh = sigma_thresh
         self.export_every = export_every
         self.max_cloud_points = max_cloud_points
         self.n_packets = 0
         self.trajectory = []
+        # fusion command back-channel (the reference GUI's key bindings
+        # M/N/A/S/T send commands back through an output queue,
+        # open3d_gui.py:181-195, 369-383); headless equivalents are
+        # queued programmatically and drained by the GuiModule
+        self._commands = []
+        self.end_commands = list(end_commands or ())
         os.makedirs(out_dir, exist_ok=True)
+
+    # command back-channel (reference key bindings) ---------------------
+    def request_mesh(self):                       # 'M'
+        self._commands.append({"cmd": "mesh"})
+
+    def request_eval(self):                       # 'N'
+        self._commands.append({"cmd": "eval"})
+
+    def adjust_sigma_thresh(self, value: float):  # 'A'/'S'
+        self.sigma_thresh = float(value)
+        self._commands.append({"cmd": "sigma_thresh",
+                               "value": float(value)})
+
+    def toggle_mask(self):                        # 'T'
+        self._commands.append({"cmd": "toggle_mask"})
+
+    def pop_commands(self):
+        out, self._commands = self._commands, []
+        return out
 
     def visualize(self, packet: Optional[Dict[str, Any]]):
         if packet is None or "cam0_poses" not in packet:
@@ -111,6 +137,9 @@ class HeadlessGui:
         if self.n_packets % self.export_every == 0 or \
                 packet.get("is_last_frame"):
             self.export(packet)
+        if packet.get("is_last_frame"):
+            for cmd in self.end_commands:
+                self._commands.append({"cmd": cmd})
         return packet
 
     def export(self, packet):

@@ -71,24 +71,28 @@ class GraphAgg(nn.Module):
         self.eta_0 = _conv(1, 3, d)
         self.upmask_0 = _conv(8 * 8 * 9, 1, d)
 
-    def _pooled(self, net, seg, n_seg: int):
+    def _pooled(self, net, seg, n_seg: int, axis_name=None):
+        """``axis_name``: edges sharded over a mesh axis (shard_map) --
+        the per-view mean pools across all shards via psum."""
         E = net.shape[0]
         x = nn.relu(self.conv1(net))
         safe = jnp.where(seg < 0, n_seg, seg)
         summed = jax.ops.segment_sum(x, safe, num_segments=n_seg + 1)[:n_seg]
         count = jax.ops.segment_sum(jnp.ones((E,), x.dtype), safe,
                                     num_segments=n_seg + 1)[:n_seg]
+        if axis_name is not None:
+            summed, count = jax.lax.psum((summed, count), axis_name)
         mean = summed / jnp.maximum(count, 1.0)[:, None, None, None]
         return nn.relu(self.conv2(mean))
 
-    def eta(self, net, seg, n_seg: int):
-        y = self._pooled(net, seg, n_seg)
+    def eta(self, net, seg, n_seg: int, axis_name=None):
+        y = self._pooled(net, seg, n_seg, axis_name)
         e = self.eta_0(y)
         return 0.01 * jax.nn.softplus(
             gradient_clip(e.astype(jnp.float32)))[..., 0]
 
-    def __call__(self, net, seg, n_seg: int):
-        y = self._pooled(net, seg, n_seg)
+    def __call__(self, net, seg, n_seg: int, axis_name=None):
+        y = self._pooled(net, seg, n_seg, axis_name)
         e = self.eta_0(y)
         eta = 0.01 * jax.nn.softplus(
             gradient_clip(e.astype(jnp.float32)))[..., 0]
@@ -114,7 +118,8 @@ class UpdateModule(nn.Module):
         self.agg = GraphAgg(dtype=d)
 
     def __call__(self, net, inp, corr, flow=None, seg=None,
-                 n_seg: int | None = None, with_upmask: bool = True):
+                 n_seg: int | None = None, with_upmask: bool = True,
+                 axis_name=None):
         """net/inp: (E, H, W, 128) hidden/context; corr: (E, H, W, 196);
         flow: (E, H, W, 4) motion features.  Returns (net, delta, weight
         [, eta[, upmask]]) with delta/weight (E, H, W, 2) fp32."""
@@ -139,15 +144,15 @@ class UpdateModule(nn.Module):
 
         if seg is not None:
             if with_upmask:
-                eta, upmask = self.agg(net, seg, n_seg)
+                eta, upmask = self.agg(net, seg, n_seg, axis_name)
                 return net, delta, weight, eta, upmask
-            eta = self.agg.eta(net, seg, n_seg)
+            eta = self.agg.eta(net, seg, n_seg, axis_name)
             return net, delta, weight, eta
         return net, delta, weight
 
-    def aggregate(self, net, seg, n_seg: int):
+    def aggregate(self, net, seg, n_seg: int, axis_name=None):
         """GraphAgg only (for post-loop upsample-mask extraction)."""
-        return self.agg(net, seg, n_seg)
+        return self.agg(net, seg, n_seg, axis_name)
 
 
 class DroidNet(nn.Module):
@@ -171,12 +176,12 @@ class DroidNet(nn.Module):
         return jnp.tanh(net), nn.relu(inp)
 
     def update(self, net, inp, corr, flow=None, seg=None, n_seg=None,
-               with_upmask=True):
+               with_upmask=True, axis_name=None):
         return self.update_net(net, inp, corr, flow, seg, n_seg,
-                               with_upmask)
+                               with_upmask, axis_name)
 
-    def aggregate(self, net, seg, n_seg):
-        return self.update_net.aggregate(net, seg, n_seg)
+    def aggregate(self, net, seg, n_seg, axis_name=None):
+        return self.update_net.aggregate(net, seg, n_seg, axis_name)
 
     def __call__(self, images, net, inp, corr, flow, seg, n_seg):
         """init-shape driver (used for parameter initialization only)."""

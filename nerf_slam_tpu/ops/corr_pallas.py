@@ -330,6 +330,177 @@ def pyramid_dims(h: int, w: int, num_levels: int = 4):
     return tuple(dims)
 
 
+# ---------------------------------------------------------------------------
+# grouped weighted-hot pyramid kernel ("pallas4g")
+#
+# The per-pixel one-hot formulation issues (8, H2)@(H2, W2) matmuls --
+# ~1.5% MXU utilization, measured 20 ms per lookup at frontend sizes
+# (74% of the whole GRU+DBA iteration).  This kernel restores MXU
+# utilization with three changes:
+#   1. G = 16 pixels share one block-diagonal matmul (full 128-row MXU
+#      ops), as in the grouped v1 kernel;
+#   2. the bilinear interpolation folds INTO the selects: each one-hot
+#      row carries TWO adjacent nonzeros weighted (1-d, d), so the
+#      output is the interpolated 7x7 window directly -- no VPU bilinear
+#      pass and one less tap row of matmul work;
+#   3. all 4 levels run from their own POOLED slabs in one program
+#      (3x fewer contraction FLOPs than deriving levels 1-3 from the
+#      level-0 slab via range indicators).
+# ---------------------------------------------------------------------------
+
+
+def _make_grouped4_kernel(dims):
+    """dims: ((H_l, W_l) x 4) REAL level dims (slabs may pad rows)."""
+
+    def kernel(pix_ref, v0_ref, v1_ref, v2_ref, v3_ref, out_ref):
+        _, R, W1, _ = pix_ref.shape
+        G = _G
+        per_row = W1 // G
+        n_groups = R * per_row
+        r = _RD // 2
+
+        def io3(shape, dim):
+            return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+        def body(g, _):
+            r_idx = g // per_row
+            w0 = (g % per_row) * G
+            sl = pl.ds(w0, G)
+            x0 = pix_ref[0, r_idx, sl, 0:1]          # (G, 1)
+            y0 = pix_ref[0, r_idx, sl, 1:2]
+
+            for lvl, vref in enumerate((v0_ref, v1_ref, v2_ref, v3_ref)):
+                Hl, Wl = dims[lvl]
+                _, _, _, H2p, W2 = vref.shape
+                GH = G * H2p
+                inv = 1.0 / (2 ** lvl)
+                xl = x0 * inv
+                yl = y0 * inv
+                fx = jnp.floor(xl)
+                fy = jnp.floor(yl)
+                dx = xl - fx
+                dy = yl - fy
+                xi = jnp.clip(fx.astype(jnp.int32) - r, -_NSUP,
+                              Wl + _NSUP)
+                yi = jnp.clip(fy.astype(jnp.int32) - r, -_NSUP,
+                              Hl + _NSUP)
+
+                V = vref[0, r_idx, sl].reshape(GH, W2)   # bf16
+
+                # weighted y-hot, block-diagonal over pixels:
+                # OHY[(p,b), (p2,Y)] = [p2==p] * ((1-dy)[Y==yi+b]
+                #                               + dy[Y==yi+b+1]), Y < Hl
+                yiB = jax.lax.broadcast_in_dim(yi, (G, 8, GH), (0, 1))
+                dyB = jax.lax.broadcast_in_dim(dy, (G, 8, GH), (0, 1))
+                colY = io3((G, 8, GH), 2)
+                same_p = (colY // H2p) == io3((G, 8, GH), 0)
+                Yv = colY % H2p
+                t1 = yiB + io3((G, 8, GH), 1)
+                w1 = jnp.where((Yv == t1) & (t1 < Hl) & same_p,
+                               1.0 - dyB, 0.0)
+                w2 = jnp.where((Yv == t1 + 1) & (t1 + 1 < Hl) & same_p,
+                               dyB, 0.0)
+                OHY = (w1 + w2).astype(jnp.bfloat16).reshape(G * 8, GH)
+
+                rows = jax.lax.dot_general(
+                    OHY, V, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16)               # ((p,b), W2)
+
+                # weighted x-hot: OHX[(p2,a), X] = (1-dx)[X==xi+a]
+                #                                 + dx[X==xi+a+1], X < Wl
+                xiB = jax.lax.broadcast_in_dim(xi, (G, 8, W2), (0, 1))
+                dxB = jax.lax.broadcast_in_dim(dx, (G, 8, W2), (0, 1))
+                colX = io3((G, 8, W2), 2)
+                s1 = xiB + io3((G, 8, W2), 1)
+                u1 = jnp.where((colX == s1) & (s1 < Wl), 1.0 - dxB, 0.0)
+                u2 = jnp.where((colX == s1 + 1) & (s1 + 1 < Wl), dxB,
+                               0.0)
+                OHX = (u1 + u2).astype(jnp.bfloat16).reshape(G * 8, W2)
+
+                # M[(p,b), (p2,a)]; the block diagonal (p2 == p) is the
+                # live part, folded out with a masked matmul
+                M = jax.lax.dot_general(
+                    rows, OHX,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (G*8, G*8)
+                rowp = io3((G * 8, G * 8), 0) // 8
+                colp = io3((G * 8, G * 8), 1) // 8
+                Mbd = M * (rowp == colp).astype(jnp.float32)
+                SEL = (io3((G * 8, 8), 0) % 8 == io3((G * 8, 8), 1)
+                       ).astype(jnp.float32)
+                S = jax.lax.dot_general(
+                    Mbd, SEL,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # ((p,b), 8a)
+                S = S.reshape(G, 8, 8)                   # (p, b, a)
+                # output contract is (a, b) x-offset major
+                out_ref[0, r_idx, sl, lvl] = jnp.swapaxes(S, -1, -2)
+            return 0
+
+        jax.lax.fori_loop(0, n_groups, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "interpret"))
+def lookup_pyramid_grouped4_nhwc(levels, coords: jax.Array, dims,
+                                 interpret: bool = False) -> jax.Array:
+    """Fused grouped 4-level lookup from pooled bf16 slabs.
+
+    levels: 4 x (E, H1, W1, H2p_l, W2_l) bf16 (rows padded to 8);
+    coords: (E, H1, W1, 2) level-0 [x, y]; dims: static real level dims.
+    Returns (E, H1, W1, 196) f32, channels level-major then x-major.
+    """
+    interpret = _auto_interpret(interpret)
+    E, H1, W1 = coords.shape[:3]
+    assert len(levels) == 4
+    # grouping assumes G-aligned source rows and sublane-aligned slab
+    # rows (the (G, H2p, W2) -> (G*H2p, W2) collapse); tiny test images
+    # fall back to the per-pixel kernels
+    if (W1 % _G != 0 or any(v.shape[-2] % 8 or v.shape[-2] == 0
+                            or v.shape[-1] == 0 for v in levels)):
+        if all(v.shape[-2] > 0 and v.shape[-1] > 0 for v in levels):
+            return lookup_pyramid_pallas_nhwc(tuple(levels), coords,
+                                              interpret=interpret)
+        return jnp.concatenate(
+            [lookup_level_pallas_nhwc(v, coords / (2 ** lvl),
+                                      interpret=interpret)
+             for lvl, v in enumerate(levels)], axis=-1)
+
+    def r128(n):
+        return -(-n // 128) * 128
+
+    # VMEM: all four slabs (double-buffered) + group temporaries
+    slab_unit = sum(W1 * lv.shape[-2] * r128(lv.shape[-1]) * 2
+                    for lv in levels)
+    R = max(1, min(H1, (8 * 1024 * 1024) // max(2 * slab_unit, 1)))
+    while R > 1 and H1 % R:
+        R -= 1
+
+    grid = (E, H1 // R)
+    vol_specs = [
+        pl.BlockSpec((1, R, W1, v.shape[-2], v.shape[-1]),
+                     lambda e, y: (e, y, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for v in levels
+    ]
+    out = pl.pallas_call(
+        _make_grouped4_kernel(tuple(dims)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, R, W1, 2), lambda e, y: (e, y, 0, 0),
+                               memory_space=pltpu.VMEM)] + vol_specs,
+        out_specs=pl.BlockSpec((1, R, W1, 4, _NSUP, _NSUP),
+                               lambda e, y: (e, y, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, H1, W1, 4, _NSUP, _NSUP),
+                                       jnp.float32),
+        interpret=interpret,
+    )(coords.astype(jnp.float32), *levels)
+    out = out[..., : _RD, : _RD].reshape(E, H1, W1, 4 * _RD * _RD)
+    return out
+
+
 _G = 16          # pixels per grouped matmul (G*8 = 128 MXU rows)
 
 

@@ -89,15 +89,49 @@ class FusionModule(PipelineModule):
         self.done = False
         self._spins_since_done = 0
 
+    def handle_command(self, cmd: Dict[str, Any]):
+        """GUI->fusion command back-channel (reference
+        open3d_gui.py:369-383 output packets consumed by fusion)."""
+        name = cmd.get("cmd")
+        if name == "mesh" and hasattr(self.fusion, "extract_mesh"):
+            out = cmd.get("path", "fusion_mesh.obj")
+            try:
+                self.fusion.extract_mesh(path=out)
+                print(f"[fusion] mesh written to {out}")
+            except TypeError:   # TsdfFusion signature
+                self.fusion.extract_mesh()
+        elif name == "eval":
+            if hasattr(self.fusion, "evaluate_training_views"):
+                row = self.fusion.evaluate_training_views()
+                print(f"[fusion] eval: {row}")
+        elif name == "sigma_thresh":
+            if hasattr(self.fusion, "cfg") and \
+                    hasattr(self.fusion.cfg, "mask_type"):
+                self.fusion.sigma_thresh = float(cmd.get("value", 10.0))
+        elif name == "toggle_mask":
+            cfg = getattr(self.fusion, "cfg", None)
+            if cfg is not None and hasattr(cfg, "mask_type"):
+                order = ["ours", "raw", "ours_w_thresh", "no_depth"]
+                cur = order.index(cfg.mask_type) \
+                    if cfg.mask_type in order else 0
+                cfg.mask_type = order[(cur + 1) % len(order)]
+
     def spin_once(self, packet):
         import time as _time
         from ..utils.runtime import DEVICE_LOCK
         pkt = None
-        if packet is not None:
-            pkt = packet.get("slam") if isinstance(packet, dict) else packet
+        gui_pkt = None
+        if packet is not None and isinstance(packet, dict):
+            pkt = packet.get("slam")
+            gui_pkt = packet.get("gui")
+        elif packet is not None:
+            pkt = packet
         with DEVICE_LOCK:
             if pkt is not None:
                 self.done = self.fusion.fuse(pkt) or self.done
+            if gui_pkt is not None:
+                for cmd in gui_pkt.get("gui_commands", []):
+                    self.handle_command(cmd)
             if self.mode == "nerf":
                 self.fusion.fit_volume(self.iters_per_spin)
         # yield OUTSIDE the lock so idle throttling never blocks tracking
@@ -111,6 +145,33 @@ class FusionModule(PipelineModule):
                     >= self.extra_spins_after_done):
                 self.shutdown_module()
         return {"fusion_step": getattr(self.fusion, "iteration", 0)}
+
+
+class GuiModule(PipelineModule):
+    """Visualization stage wrapping HeadlessGui (reference
+    gui/gui_module.py); forwards queued GUI commands to fusion through
+    its output queue (the reference's GUI->fusion back-channel,
+    examples/slam_demo.py:124-125)."""
+
+    def __init__(self, gui, parallel_run: bool = True):
+        super().__init__("gui", parallel_run, input_timeout=1e-3)
+        self.gui = gui
+
+    def spin_once(self, packet):
+        from ..utils.runtime import DEVICE_LOCK
+        pkt = None
+        if packet is not None:
+            pkt = packet.get("slam") if isinstance(packet, dict) \
+                else packet
+        if pkt is not None:
+            with DEVICE_LOCK:
+                self.gui.visualize(pkt)
+            if pkt.get("is_last_frame"):
+                self.shutdown_module()
+        cmds = self.gui.pop_commands()
+        if cmds:
+            return {"gui_commands": cmds}
+        return None
 
 
 class EvalSink(PipelineModule):

@@ -196,7 +196,8 @@ def kx_scatter(buf, kx, k_valid, new):
     return buf.at[safe].set(new, mode="drop")
 
 
-def linearize(poses, disps, intrinsics, targets, weights, p: DBAPlan):
+def linearize(poses, disps, intrinsics, targets, weights, p: DBAPlan,
+              stereo_rel=None):
     """Per-edge Gauss-Newton blocks; the projective_transform_kernel
     equivalent.  Returns (Hs quadrants, vs, Eiz, Ejz, Cii, bz).
 
@@ -205,19 +206,35 @@ def linearize(poses, disps, intrinsics, targets, weights, p: DBAPlan):
     from ONE batched (12, 2HW)@(2HW, 12) contraction -- the NHWC
     formulation with trailing (2, 6) dims padded 6 lanes to 128 and
     cost ~15 ms/call at frontend sizes; this one is ~1 ms.
+
+    ``stereo_rel``: optional (7,) rig pose enabling STEREO edges
+    (ii == jj): their relative pose is pinned to the rig and they
+    contribute ONLY to the depth blocks Cii/bz -- the pose Hessian,
+    rhs and couplings are zeroed, exactly like the reference kernel
+    (droid_kernels.cu:367, 415-421, 432, 478-484).
     """
     Ec = p.ii.shape[0]
     H, W = disps.shape[-2:]
     HW = H * W
 
     coords, valid, Ji, Jj, Jz = camera.projective_transform_cm(
-        poses, disps, intrinsics, p.ii, p.jj)
+        poses, disps, intrinsics, p.ii, p.jj, stereo_rel=stereo_rel)
     # (E,2,HW), (E,1,HW), (E,6,2,HW), (E,6,2,HW), (E,2,HW)
 
     t_cm = jnp.moveaxis(targets.reshape(Ec, HW, 2), -1, 1)
     w_cm = jnp.moveaxis(weights.reshape(Ec, HW, 2), -1, 1)
     r = t_cm - coords                                    # (E,2,HW)
     w = 0.001 * valid * w_cm * p.edge_valid[:, None, None]
+
+    # depth data blocks use the FULL weight (before stereo zeroing)
+    wJz_d = w * Jz                                       # (E,2,HW)
+    Cii = jnp.sum(wJz_d * Jz, axis=1)                    # (E,HW)
+    bz = jnp.sum(wJz_d * r, axis=1)
+
+    if stereo_rel is not None:
+        # stereo edges constrain depth/scale only: zero their weight
+        # for every pose-coupled block (H, v, Eiz, Ejz)
+        w = w * (p.ii != p.jj).astype(w.dtype)[:, None, None]
 
     J2 = jnp.concatenate([Ji, Jj], axis=1).reshape(Ec, 12, 2 * HW)
     wflat = w.reshape(Ec, 1, 2 * HW)
@@ -235,8 +252,6 @@ def linearize(poses, disps, intrinsics, targets, weights, p: DBAPlan):
     wJz = w * Jz                                         # (E,2,HW)
     Eiz = jnp.einsum("exh,ecxh->ech", wJz, Ji)
     Ejz = jnp.einsum("exh,ecxh->ech", wJz, Jj)
-    Cii = jnp.sum(wJz * Jz, axis=1)                      # (E,HW)
-    bz = jnp.sum(wJz * r, axis=1)
 
     return (Hii, Hij, Hjj), (vi, vj), (Eiz, Ejz), (Cii, bz)
 
@@ -279,10 +294,15 @@ def _linearize_nhwc_ref(poses, disps, intrinsics, targets, weights,
     return (Hii, Hij, Hjj), (vi, vj), (Eiz, Ejz), (Cii, bz)
 
 
-def assemble(blocks, p: DBAPlan, disps, eta, disps_sens, alpha=0.05):
+def assemble(blocks, p: DBAPlan, disps, eta, disps_sens, alpha=0.05,
+             axis_name=None):
     """Assemble the window-local dense system.
 
     Returns Hd (P6, P6), vd (P6,), Ehat (P, K, 6, HW), C (K, HW), w (K, HW).
+
+    ``axis_name``: set when the per-edge blocks are sharded over a
+    device mesh axis (shard_map): the linear edge-sums are psum'd so the
+    assembled system is replicated across shards.
     """
     (Hii, Hij, Hjj), (vi, vj), (Eiz, Ejz), (Cii, bz) = blocks
     P = p.px.shape[0]
@@ -305,6 +325,20 @@ def assemble(blocks, p: DBAPlan, disps, eta, disps_sens, alpha=0.05):
     # depth data terms per depth slot
     C = _seg_mat(Cii, p.kk, K)
     w = _seg_mat(bz, p.kk, K)
+
+    # pose-depth coupling tensor (summed here so one psum covers all
+    # five edge-linear accumulators)
+    def couple_idx(pp):
+        ok = (pp >= 0) & (p.kk >= 0)
+        return jnp.where(ok, pp * K + p.kk, -1)
+
+    Ehat = (_seg_mat(Eiz, couple_idx(p.pi), P * K)
+            + _seg_mat(Ejz, couple_idx(p.pj), P * K))
+
+    if axis_name is not None:
+        Hgrid, v, C, w, Ehat = jax.lax.psum((Hgrid, v, C, w, Ehat),
+                                            axis_name)
+
     d_k = disps[p.kx].reshape(K, HW)
     s_k = disps_sens.reshape(K, HW)
     m = (s_k > 0).astype(C.dtype)
@@ -314,13 +348,6 @@ def assemble(blocks, p: DBAPlan, disps, eta, disps_sens, alpha=0.05):
     C = jnp.where(p.k_valid[:, None] > 0, C, 1.0)
     w = w * p.k_valid[:, None]
 
-    # pose-depth coupling tensor
-    def couple_idx(pp):
-        ok = (pp >= 0) & (p.kk >= 0)
-        return jnp.where(ok, pp * K + p.kk, -1)
-
-    Ehat = (_seg_mat(Eiz, couple_idx(p.pi), P * K)
-            + _seg_mat(Ejz, couple_idx(p.pj), P * K))
     Ehat = Ehat.reshape(P, K, 6, HW)
 
     Hd = jnp.transpose(Hgrid, (0, 2, 1, 3)).reshape(P * 6, P * 6)
@@ -455,6 +482,14 @@ def covariances(L, Ehat, Q, p: DBAPlan):
     G = Linv @ Emat                                      # (PD, K*HW)
     delta = jnp.sum(G * G, axis=0).reshape(K, HW)
     z_cov = Q + Q * Q * delta
+
+    # Cholesky-failure tolerance, matching the solve path's zero-step
+    # guard (solve_system): a non-finite factorization must not export
+    # NaN covariances into persistent frontend state (ADVICE r1 #3).
+    # Fall back to the data-term marginal Q and a loose pose prior.
+    ok = jnp.all(jnp.isfinite(L))
+    pose_cov = jnp.where(ok, pose_cov, eye6)
+    z_cov = jnp.where(ok & jnp.isfinite(z_cov), z_cov, Q)
     return pose_cov, z_cov
 
 
@@ -471,21 +506,29 @@ def dba_iterations(poses, disps, intrinsics, targets, weights, eta,
                    ep: float = 0.1, lm: float = 1e-4,
                    compute_covariances: bool = True,
                    motion_only: bool = False,
-                   with_final: bool = True) -> DBAResult:
+                   with_final: bool = True,
+                   stereo_rel=None, axis_name=None) -> DBAResult:
     """Run `iters` relinearized GN steps and (optionally) covariances.
 
     poses/disps are full keyframe buffers (N,7)/(N,H,W); only window
     slots are updated.  eta: (K, H, W) damping per depth slot,
     disps_sens: (K, H, W) sensed inverse depths (0 where absent).
     Static over (N, E, P, K, H, W, iters) -- jit-cache friendly.
+
+    ``axis_name``: run edge-sharded under shard_map -- the plan's edge
+    arrays and targets/weights hold the LOCAL shard, keyframe-major
+    arrays are replicated, and assembly psums over the axis (the solve
+    runs replicated on every shard).
     """
     Hh, Ww = disps.shape[-2:]
     K = p.kx.shape[0]
 
     def body(_, state):
         poses, disps = state
-        blocks = linearize(poses, disps, intrinsics, targets, weights, p)
-        Hd, vd, Ehat, C, w = assemble(blocks, p, disps, eta, disps_sens)
+        blocks = linearize(poses, disps, intrinsics, targets, weights, p,
+                           stereo_rel=stereo_rel)
+        Hd, vd, Ehat, C, w = assemble(blocks, p, disps, eta, disps_sens,
+                                      axis_name=axis_name)
         if motion_only:
             Hm, vm, fm = _gauge_mask(Hd, vd, p)
             diag = jnp.diagonal(Hm)
@@ -524,17 +567,23 @@ def dba_iterations(poses, disps, intrinsics, targets, weights, eta,
             flow_rms=jnp.zeros((), dtype=disps.dtype))
 
     # final linearization for covariances + diagnostics
-    blocks = linearize(poses, disps, intrinsics, targets, weights, p)
-    Hd, vd, Ehat, C, w = assemble(blocks, p, disps, eta, disps_sens)
+    blocks = linearize(poses, disps, intrinsics, targets, weights, p,
+                       stereo_rel=stereo_rel)
+    Hd, vd, Ehat, C, w = assemble(blocks, p, disps, eta, disps_sens,
+                                  axis_name=axis_name)
     coords, valid, _ = camera.projective_transform(
-        poses, disps, intrinsics, p.ii, p.jj)
+        poses, disps, intrinsics, p.ii, p.jj, stereo_rel=stereo_rel)
     r = (targets - coords) * valid * p.edge_valid[:, None, None, None]
-    flow_rms = jnp.sqrt(jnp.sum(r * r) /
-                        jnp.maximum(jnp.sum(valid) * 2.0, 1.0))
+    num = jnp.sum(r * r)
+    den = jnp.sum(valid) * 2.0
+    if axis_name is not None:
+        num, den = jax.lax.psum((num, den), axis_name)
+    flow_rms = jnp.sqrt(num / jnp.maximum(den, 1.0))
 
     if compute_covariances:
+        eb = None if axis_name is not None else blocks[2]
         _, _, L, Q = solve_system(Hd, vd, Ehat, C, w, p, ep, lm,
-                                  E_blocks=blocks[2])
+                                  E_blocks=eb)
         pose_cov, z_cov = covariances(L, Ehat, Q, p)
     else:
         P = p.px.shape[0]

@@ -105,30 +105,127 @@ class LevenbergMarquardt(Solver):
 
 
 class IncrementalSolver(Solver):
-    """iSAM2-equivalent interface (solvers/nonlinear_solver.py:28-74):
-    persistent estimate updated as factors arrive.  Implementation
-    re-solves with GN seeded at the previous estimate -- correct, with
-    incrementalization left as a performance upgrade."""
+    """Incremental smoother (the reference's iSAM2 slot,
+    solvers/nonlinear_solver.py:28-74), implemented with iSAM2's *fluid
+    relinearization* semantics rather than a full re-solve:
 
-    def __init__(self, inner: Optional[Solver] = None):
-        self.inner = inner or GaussNewton(max_iters=5)
-        self.estimate: Optional[Variables] = None
+    - every variable carries a persistent linearization point ``x_lin``
+      and a tangent delta ``d``; the running estimate is
+      ``retract(x_lin, d)``;
+    - every factor caches its whitened linearization ``(r0, {J_k})``
+      taken at its keys' linearization points; the quadratic model is
+      ``r(d) ~= r0 + sum_k J_k d_k``;
+    - ``update()`` linearizes ONLY new/changed factors and factors
+      touching variables whose delta exceeded ``relin_thresh`` (those
+      variables' lin points are first advanced and their deltas reset,
+      exactly iSAM2's relinearization rule); everything else reuses the
+      cache;
+    - the normal equations are then assembled from cached blocks and
+      solved with one damped dense Cholesky.  (The Bayes-tree's
+      *incremental factorization* is deliberately replaced by a dense
+      solve: at this framework's scales -- tens of poses, <=6 dof each,
+      T <= a few hundred -- a dense Cholesky is microseconds on TPU and
+      far below one linearization in cost; the expensive part that IS
+      incrementalized here is relinearization, which autodiffs through
+      retractions.)
+
+    ``stats`` exposes per-update relinearization counts so tests (and
+    benchmarks) can assert the incremental behavior is real.
+    """
+
+    def __init__(self, relin_thresh: float = 0.02, damping: float = 1e-8,
+                 inner_iters: int = 2):
+        self.relin_thresh = relin_thresh
+        self.damping = damping
+        self.inner_iters = inner_iters
+        self.estimate: Optional[Variables] = None    # current estimate
+        self._lin_point: Optional[Variables] = None  # per-var lin points
+        self._delta: dict = {}                       # Key -> tangent vec
+        self._cache: dict = {}   # fid -> (r0, [J_k], version tuple)
+        self._ver: dict = {}     # Key -> int, bumped on relinearization
+        self.stats = {"relinearized": 0, "reused": 0, "updates": 0}
+
+    def _absorb_new(self, new_values: Optional[Variables]):
+        if self.estimate is None:
+            assert new_values is not None, "first update needs values"
+            self.estimate = Variables()
+            self._lin_point = Variables()
+        if new_values is None:
+            return
+        for k in new_values.keys():
+            if k not in self.estimate._vals:
+                t = new_values._types[k]
+                self.estimate.insert(k, new_values.at(k), t)
+                self._lin_point.insert(k, new_values.at(k), t)
+                self._delta[k] = jnp.zeros(t.tangent_dim)
+                self._ver[k] = 0
 
     def update(self, graph: FactorGraph,
                new_values: Optional[Variables] = None) -> SolverResult:
-        if self.estimate is None:
-            assert new_values is not None
-            self.estimate = new_values.copy()
-        elif new_values is not None:
-            for k in new_values.keys():
-                if k not in self.estimate._vals:
-                    self.estimate.insert(k, new_values.at(k),
-                                         new_values._types[k])
+        self._absorb_new(new_values)
         if len(graph) == 0:
             return SolverResult(self.estimate, 0.0, 0, True)
-        res = self.inner.solve(graph, self.estimate)
-        self.estimate = res.variables
-        return res
+        self.stats["updates"] += 1
+        live = set(graph.factors.keys())
+        for fid in [f for f in self._cache if f not in live]:
+            del self._cache[fid]     # removed/replaced factors
+
+        relin_count = 0
+        for _ in range(self.inner_iters):
+            # 1. advance lin points of variables whose delta got large
+            moved = set()
+            for k, d in self._delta.items():
+                if float(jnp.max(jnp.abs(d))) > self.relin_thresh:
+                    t = self._lin_point._types[k]
+                    self._lin_point._vals[k] = t.retract(
+                        self._lin_point.at(k), d)
+                    self._delta[k] = jnp.zeros(t.tangent_dim)
+                    self._ver[k] += 1
+                    moved.add(k)
+
+            # 2. (re)linearize new factors + factors touching moved vars
+            for fid, f in graph.factors.items():
+                ver = tuple(self._ver[k] for k in f.keys)
+                hit = self._cache.get(fid)
+                if hit is not None and hit[2] == ver:
+                    self.stats["reused"] += 1
+                    continue
+                r0, Js = f.linearize(self._lin_point)
+                self._cache[fid] = (r0, Js, ver)
+                self.stats["relinearized"] += 1
+                relin_count += 1
+
+            # 3. assemble normal equations in the joint tangent space
+            #    (absolute deltas wrt the lin points, not increments)
+            offs = self._lin_point.tangent_offsets()
+            T = self._lin_point.tangent_dim
+            H = jnp.zeros((T, T))
+            b = jnp.zeros((T,))
+            for fid, f in graph.factors.items():
+                r0, Js, _ = self._cache[fid]
+                for k_a, J_a in zip(f.keys, Js):
+                    oa, da = offs[k_a]
+                    b = b.at[oa:oa + da].add(-J_a.T @ r0)
+                    for k_b, J_b in zip(f.keys, Js):
+                        ob, db = offs[k_b]
+                        H = H.at[oa:oa + da, ob:ob + db].add(J_a.T @ J_b)
+            H = H + self.damping * jnp.eye(T)
+            c, low = cho_factor(H)
+            d_full = cho_solve((c, low), b)
+            if not bool(jnp.all(jnp.isfinite(d_full))):
+                break
+            for k, (o, dk) in offs.items():
+                self._delta[k] = d_full[o:o + dk]
+
+        # 4. estimate = retract(lin_point, delta)
+        est = Variables()
+        for k in self._lin_point.keys():
+            t = self._lin_point._types[k]
+            est.insert(k, t.retract(self._lin_point.at(k),
+                                    self._delta[k]), t)
+        self.estimate = est
+        err = graph.error(est)
+        return SolverResult(est, err, relin_count, True)
 
     def solve(self, graph, x0):
         return self.update(graph, x0)

@@ -74,8 +74,11 @@ class FrontendConfig:
     damping_scale: float = 0.2
     damping_offset: float = 1e-7
     compute_covariances: bool = True
-    corr_impl: str = "pallas"       # hot-loop lookup kernel:
-                                    # "pallas" | "pallas_grouped" | "onehot"
+    corr_impl: str = "pallas4g"     # hot-loop lookup kernel:
+                                    # "pallas4g" (grouped weighted-hot,
+                                    # pooled slabs) | "pallas" (single
+                                    # l0 slab) | "pallas_grouped" |
+                                    # "onehot"
     schur_impl: str = "dense"       # "dense" (one MXU matmul) | "sparse"
                                     # (reference-style interaction list)
     # timing-isolation knobs (compile-time): replace a stage with a
@@ -86,6 +89,19 @@ class FrontendConfig:
     global_ba: bool = False          # run backend() at terminate (:73)
     # initial depth-variance prior (visual_frontend.py:148-151)
     sigma_idepth: float = 0.1
+    # stereo (reference visual_frontend.py:87, 206, 839-841): keyframes
+    # carry a second (right-camera) feature map; the graph adds (i, i)
+    # STEREO edges whose correlation targets cam1 and whose relative
+    # pose is pinned to `stereo_rel` (cam1_T_cam0, [t, q_xyzw]); in the
+    # DBA they constrain depth/scale only (droid_kernels.cu:367, 432)
+    stereo: bool = False
+    stereo_rel: tuple = (-0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+    # multi-chip: shard the fused GRU+DBA update over `edge_shards`
+    # devices along the edge axis (SURVEY.md 2.3's intra-op parallelism
+    # as a jax.sharding mesh): per-edge correlation lookup, GRU and
+    # linearization run on local shards, the assembled normal equations
+    # are psum'd over ICI, and the (tiny) solve replicates.  1 = off.
+    edge_shards: int = 1
 
 
 class KeyframeState(NamedTuple):
@@ -107,6 +123,8 @@ class KeyframeState(NamedTuple):
     features: jax.Array        # (B, h, w, 128) bf16
     contexts: jax.Array        # (B, h, w, 128) bf16 (tanh'd)
     cst_contexts: jax.Array    # (B, h, w, 128) bf16 (relu'd)
+    features1: jax.Array       # (B, h, w, 128) bf16 right-camera
+                               # features (stereo; (B,1,1,1) dummy mono)
 
 
 class EdgeState(NamedTuple):
@@ -120,6 +138,12 @@ class EdgeState(NamedTuple):
 class InactiveState(NamedTuple):
     flow: jax.Array            # (Ei, h, w, 2)
     flow_weight: jax.Array     # (Ei, h, w, 2)
+
+
+# fused proximity-prefetch grid capacity: ii spans [t-5, t) (+margin),
+# jj spans the frontend window (<= 25 in the reference, BASELINE.md)
+_PF_SI = 8
+_PF_SJ = 32
 
 
 def _cov_droid_to_gtsam(cov: jax.Array) -> jax.Array:
@@ -145,8 +169,11 @@ class RaftVisualFrontend:
         self.last_k: Optional[int] = None
         self.is_initialized = False
         self.stop = False
+        self.last_kf_dist = float("inf")   # device scalar after update()
         self.kf_idx_to_f_idx: Dict[int, int] = {}
         self.f_idx_to_kf_idx: Dict[int, int] = {}
+        self._host_intrinsics: Dict[int, np.ndarray] = {}
+        self._dist_prefetch = None
 
         self.graph = graphlib.CovisibilityGraph(max_factors=cfg.max_factors)
         self.world_T_cam0_t0 = (np.eye(4, dtype=np.float32)
@@ -166,6 +193,16 @@ class RaftVisualFrontend:
                 8 * (cfg.e_active + cfg.e_inactive)))))
 
         self._jit_cache: Dict[Any, Any] = {}
+
+        self.mesh = None
+        if cfg.edge_shards > 1:
+            n = cfg.edge_shards
+            assert cfg.e_active % n == 0 and cfg.e_inactive % n == 0, \
+                f"e_active/e_inactive must divide edge_shards={n}"
+            devs = jax.devices()
+            assert len(devs) >= n, \
+                f"edge_shards={n} but only {len(devs)} devices"
+            self.mesh = jax.sharding.Mesh(np.array(devs[:n]), ("edge",))
 
     # ------------------------------------------------------------------
     # allocation
@@ -196,6 +233,9 @@ class RaftVisualFrontend:
             features=jnp.zeros((B, h, w, 128), jnp.bfloat16),
             contexts=jnp.zeros((B, h, w, 128), jnp.bfloat16),
             cst_contexts=jnp.zeros((B, h, w, 128), jnp.bfloat16),
+            features1=(jnp.zeros((B, h, w, 128), jnp.bfloat16)
+                       if cfg.stereo
+                       else jnp.zeros((B, 1, 1, 1), jnp.bfloat16)),
         )
 
     def _alloc_edges(self) -> EdgeState:
@@ -217,6 +257,14 @@ class RaftVisualFrontend:
     # ------------------------------------------------------------------
     # jitted primitives
     # ------------------------------------------------------------------
+    def _stereo_rel(self):
+        """(7,) cam1_T_cam0 as a trace-time constant, or None (mono).
+        Called inside jitted methods -- cfg is static there, so mono
+        configs compile with zero stereo overhead."""
+        if not self.cfg.stereo:
+            return None
+        return jnp.asarray(self.cfg.stereo_rel, jnp.float32)
+
     @partial(jax.jit, static_argnums=0)
     def _encode(self, params, image_norm):
         """image_norm: (1, H, W, 3) -> features/context/cst (h, w, 128)."""
@@ -292,15 +340,22 @@ class RaftVisualFrontend:
 
         target, _, _ = camera.projective_transform(
             state.cam_T_world, state.idepths, state.intrinsics,
-            ii_pad, jj_pad)
+            ii_pad, jj_pad, stereo_rel=self._stereo_rel())
         nm = new_mask[:, None, None, None]
         hidden = jnp.where(nm > 0, state.contexts[ii_pad], hidden)
         flow = jnp.where(nm > 0, target, flow)
         flow_w = jnp.where(nm > 0, 0.0, flow_w)
 
         f = state.features.transpose(0, 3, 1, 2)
+        fj = f[jj_pad]
+        if self.cfg.stereo:
+            # stereo (i, i) edges correlate cam0 -> cam1 features
+            # (visual_frontend.py:839-841 feature_img_jj indexing)
+            f1 = state.features1.transpose(0, 3, 1, 2)
+            st_m = (ii_pad == jj_pad)[:, None, None, None]
+            fj = jnp.where(st_m, f1[jj_pad], fj)
         n_lv = 1 if self.cfg.corr_impl == "pallas" else 4
-        levels = tuple(corr.build_pyramid_bf16(f[ii_pad], f[jj_pad],
+        levels = tuple(corr.build_pyramid_bf16(f[ii_pad], fj,
                                                n_lv, pad_rows_to=8))
         return EdgeState(hidden=hidden, flow=flow, flow_weight=flow_w,
                          corr_levels=levels)
@@ -336,9 +391,30 @@ class RaftVisualFrontend:
                 state.intrinsics[sel])
 
     # the hot fused step ------------------------------------------------
-    @partial(jax.jit, static_argnums=0, donate_argnums=(2, 3))
+    @partial(jax.jit, static_argnums=(0, 6), donate_argnums=(2, 3))
     def _update_n(self, params, state: KeyframeState, edges: EdgeState,
-                  inactive: InactiveState, packed_plan):
+                  inactive: InactiveState, packed_plan,
+                  light: bool = False):
+        """Dispatch the fused update: single-device, or shard_map'd over
+        the edge axis of a device mesh (cfg.edge_shards > 1)."""
+        if self.mesh is None:
+            return self._update_core(params, state, edges, inactive,
+                                     packed_plan, light, None)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        fn = shard_map(
+            lambda pa, st, ed, ia, pp: self._update_core(
+                pa, st, ed, ia, pp, light, "edge"),
+            mesh=self.mesh,
+            in_specs=(P(), P(), P("edge"), P("edge"), P()),
+            out_specs=(P(), P("edge"), P(), P(), P()),
+            check_rep=False)
+        return fn(params, state, edges, inactive, packed_plan)
+
+    def _update_core(self, params, state: KeyframeState,
+                     edges: EdgeState, inactive: InactiveState,
+                     packed_plan, light: bool, axis):
         """n_iters fused GRU+DBA iterations over the active graph.
 
         Equivalent to calling visual_frontend.update() (:370-470) n times,
@@ -347,6 +423,17 @@ class RaftVisualFrontend:
         per-iteration dispatch and host transfers.  Covariances and
         convex upsampling run once after the loop (as the final
         reference iteration would).
+
+        Fused per-keyframe tail work (each item replaces a separate
+        dispatch + host upload the reference pays per keyframe):
+          - keyframe-rejection distance (d_a, d_b) on the final state;
+          - next-keyframe state seeding (visual_frontend.py:620-635);
+          - the NEXT keyframe's proximity distance grid, prefetched on
+            the seeded state so add_proximity_factors never blocks.
+
+        ``light=True`` compiles a short variant for the pre-rejection
+        update (iters1): it skips covariances, upsampling and all viz
+        exports -- the accepting update (iters2) recomputes them anyway.
 
         ii_act/jj_act: (Ea,) active edge endpoints (padded); edge_on:
         (Ea,) 1/0 validity; seg: (Ea,) depth-slot per active edge for
@@ -357,12 +444,42 @@ class RaftVisualFrontend:
         cfg = self.cfg
         h, w = self.h, self.w
         Ea = cfg.e_active
-        n_iters = packed_plan[-4]
-        seed_slot = packed_plan[-3]       # sensed-depth seed slot (-1: off)
-        d_a = packed_plan[-2]             # keyframe-distance pair, computed
-        d_b = packed_plan[-1]             # on the final state in this jit
-        plan = dba.unpack_plan(packed_plan[:-4], Ea + cfg.e_inactive,
+        n_iters = packed_plan[-8]
+        seed_slot = packed_plan[-7]       # sensed-depth seed slot (-1: off)
+        d_a = packed_plan[-6]             # keyframe-distance pair, computed
+        d_b = packed_plan[-5]             # on the final state in this jit
+        seed_next = packed_plan[-4]       # next-kf slot to seed (-1: off)
+        t_g = packed_plan[-3]             # prox-prefetch grid scalars
+        kf0_g = packed_plan[-2]
+        kf1_g = packed_plan[-1]           # -1: prefetch off
+        plan = dba.unpack_plan(packed_plan[:-8], Ea + cfg.e_inactive,
                                cfg.p_window, cfg.k_depth)
+        if axis is not None:
+            # edge-sharded execution (shard_map): localize the plan's
+            # edge-major rows to this shard -- [local actives ++ local
+            # inactives], matching the sharded EdgeState/InactiveState
+            # blocks; keyframe-major arrays stay replicated.  The sparse
+            # Schur pair list indexes global couplings, so sharded runs
+            # use the dense coupling contraction.
+            shards = cfg.edge_shards
+            Ei = cfg.e_inactive
+            ea_l, ei_l = Ea // shards, Ei // shards
+            off = jax.lax.axis_index(axis)
+
+            def act(a):
+                return jax.lax.dynamic_slice_in_dim(a, off * ea_l, ea_l, 0)
+
+            def both(a):
+                ina = jax.lax.dynamic_slice_in_dim(
+                    a, Ea + off * ei_l, ei_l, 0)
+                return jnp.concatenate([act(a), ina], axis=0)
+
+            plan = plan._replace(
+                ii=both(plan.ii), jj=both(plan.jj), pi=both(plan.pi),
+                pj=both(plan.pj), kk=both(plan.kk),
+                edge_valid=both(plan.edge_valid),
+                pair_a=None, pair_b=None, pair_valid=None)
+            Ea = ea_l
         # active-edge views (slot-aligned prefix of the plan)
         ii_act = plan.ii[:Ea]
         jj_act = plan.jj[:Ea]
@@ -370,7 +487,14 @@ class RaftVisualFrontend:
         seg = jnp.where(plan.edge_valid[:Ea] > 0, plan.kk[:Ea], -1)
         K = plan.kx.shape[0]
         coords0 = camera.coords_grid(h, w)
-        if cfg.corr_impl == "pallas":
+        if cfg.corr_impl == "pallas4g":
+            # grouped weighted-hot kernel over 4 pooled slabs: measured
+            # ~5x the single-slab variant (MXU-shaped block-diagonal
+            # selects; bilinear folded into the one-hots)
+            dims = corr_pallas.pyramid_dims(h, w)
+            lookup_nhwc = lambda c: corr_pallas.lookup_pyramid_grouped4_nhwc(
+                edges.corr_levels, c, dims)
+        elif cfg.corr_impl == "pallas":
             # single-slab path: levels 1-3 are derived from level 0
             # inside the kernel (pooling commutes with sampling)
             dims = corr_pallas.pyramid_dims(h, w)
@@ -387,11 +511,14 @@ class RaftVisualFrontend:
         ctx_inp = state.cst_contexts[ii_act]
         sens_k = state.idepths_sensed[plan.kx]
 
+        stereo_rel = self._stereo_rel()
+
         def one_iter(carry):
             i, poses, disps, hidden, flow, flow_w, damping = carry
 
             coords1, _, _ = camera.projective_transform(
-                poses, disps, state.intrinsics, ii_act, jj_act)
+                poses, disps, state.intrinsics, ii_act, jj_act,
+                stereo_rel=stereo_rel)
             motion = jnp.concatenate(
                 [coords1 - coords0, flow - coords1], axis=-1)
             motion = jnp.clip(motion, -64.0, 64.0)
@@ -411,7 +538,7 @@ class RaftVisualFrontend:
                     params, hidden, ctx_inp,
                     cvals.astype(jnp.bfloat16),
                     motion.astype(jnp.bfloat16),
-                    seg, K, False, method=DroidNet.update)
+                    seg, K, False, axis, method=DroidNet.update)
 
             flow = jnp.where(on > 0, coords1 + delta, flow)
             flow_w = jnp.where(on > 0, weight, flow_w)
@@ -435,7 +562,8 @@ class RaftVisualFrontend:
                     poses, disps, state.intrinsics, targets, weights,
                     eta_k, sens_k, plan, iters=cfg.gn_iters, ep=cfg.ep,
                     lm=cfg.lm, compute_covariances=False,
-                    with_final=False)
+                    with_final=False, stereo_rel=stereo_rel,
+                    axis_name=axis)
                 poses, disps = res.poses, res.disps
             return (i + 1, poses, disps, hidden, flow, flow_w,
                     damping)
@@ -454,17 +582,36 @@ class RaftVisualFrontend:
                                    carry)
         _, poses, disps, hidden, flow, flow_w, damping = carry
 
+        # keyframe-rejection distance on the updated state, fused here so
+        # the host's accept/reject branch costs no extra dispatch
+        kf_dist = camera.frame_distance_bidirectional(
+            poses, disps, state.intrinsics, d_a[None], d_b[None],
+            cfg.beta)[0]
+
+        if light:
+            # pre-rejection variant: poses/disps/edge state only -- the
+            # accepting update recomputes covariances, upsampling, viz
+            state = state._replace(cam_T_world=poses, idepths=disps,
+                                   damping=damping)
+            edges = edges._replace(hidden=hidden, flow=flow,
+                                   flow_weight=flow_w,
+                                   corr_levels=edges.corr_levels)
+            zero = jnp.zeros((), disps.dtype)
+            return state, edges, zero, kf_dist, jnp.full(
+                (_PF_SI * _PF_SJ,), 1e6, disps.dtype)
+
         # final linearization: covariances + diagnostics
         targets = jnp.concatenate([flow, inactive.flow], axis=0)
         weights = jnp.concatenate([flow_w, inactive.flow_weight], axis=0)
         eta_k = cfg.damping_scale * damping[plan.kx] \
                 + cfg.damping_offset
         blocks = dba.linearize(poses, disps, state.intrinsics, targets,
-                               weights, plan)
+                               weights, plan, stereo_rel=stereo_rel)
         Hd, vd, Ehat, C, wv = dba.assemble(blocks, plan, disps, eta_k,
-                                           sens_k)
+                                           sens_k, axis_name=axis)
         if cfg.compute_covariances:
-            eb = blocks[2] if cfg.schur_impl == "sparse" else None
+            eb = (blocks[2] if cfg.schur_impl == "sparse"
+                  and axis is None else None)
             _, _, L, Q = dba.solve_system(Hd, vd, Ehat, C, wv, plan,
                                           cfg.ep, cfg.lm, E_blocks=eb)
             pose_cov_p, z_cov = dba.covariances(L, Ehat, Q, plan)
@@ -475,11 +622,15 @@ class RaftVisualFrontend:
             z_cov = jnp.ones((K, h, w))
 
         coords1, valid, _ = camera.projective_transform(
-            poses, disps, state.intrinsics, plan.ii, plan.jj)
+            poses, disps, state.intrinsics, plan.ii, plan.jj,
+            stereo_rel=stereo_rel)
         r = (targets - coords1) * valid \
             * plan.edge_valid[:, None, None, None]
-        flow_rms = jnp.sqrt(jnp.sum(r * r)
-                            / jnp.maximum(jnp.sum(valid) * 2.0, 1.0))
+        num = jnp.sum(r * r)
+        den = jnp.sum(valid) * 2.0
+        if axis is not None:
+            num, den = jax.lax.psum((num, den), axis)
+        flow_rms = jnp.sqrt(num / jnp.maximum(den, 1.0))
 
         # covariance export (touched keyframes only)
         px_safe = jnp.where(plan.p_valid > 0, plan.px,
@@ -495,7 +646,7 @@ class RaftVisualFrontend:
 
         # convex upsampling of idepths + depth covs (:444-446), using the
         # upmask from the final hidden state
-        _, upmask = self.net.apply(params, hidden, seg, K,
+        _, upmask = self.net.apply(params, hidden, seg, K, axis,
                                    method=DroidNet.aggregate)
         um = upmask.transpose(0, 3, 1, 2).reshape(K, 576, h, w)
         up_d = upsample.upsample_disp(disps[plan.kx], um)
@@ -505,21 +656,51 @@ class RaftVisualFrontend:
         depths_cov_up = dba.kx_scatter(state.depths_cov_up, plan.kx,
                                        plan.k_valid, up_c)
 
-        # keyframe-rejection distance on the updated state, fused here so
-        # the host's accept/reject branch costs no extra dispatch
-        kf_dist = camera.frame_distance_bidirectional(
-            poses, disps, state.intrinsics, d_a[None], d_b[None],
-            cfg.beta)[0]
-
         state = state._replace(
             cam_T_world=poses, idepths=disps, damping=damping,
             pose_cov=pose_cov, idepths_cov=idepths_cov,
             depths_cov=depths_cov, idepths_up=idepths_up,
             depths_cov_up=depths_cov_up)
+
+        # next-keyframe seeding (visual_frontend.py:620-635), fused: copy
+        # keyframe sn-1's state into slot sn (idepths seeded with the
+        # source map's mean)
+        B = state.cam_T_world.shape[0]
+        sn = seed_next
+        src = jnp.clip(sn - 1, 0, B - 1)
+        m = ((jnp.arange(B) == sn) & (sn >= 0))
+
+        def seed(buf, val):
+            shape = (B,) + (1,) * (buf.ndim - 1)
+            return jnp.where(m.reshape(shape), val, buf)
+
+        st2 = state._replace(
+            cam_T_world=seed(state.cam_T_world, state.cam_T_world[src]),
+            pose_cov=seed(state.pose_cov, state.pose_cov[src]),
+            idepths=seed(state.idepths, state.idepths[src].mean()),
+            idepths_cov=seed(state.idepths_cov, state.idepths_cov[src]),
+            depths_cov=seed(state.depths_cov, state.depths_cov[src]),
+            intrinsics=seed(state.intrinsics, state.intrinsics[src]))
+
+        # proximity-grid prefetch for the NEXT keyframe, computed on the
+        # seeded state (replaces a separate padded distance dispatch)
+        iis = kf0_g + jnp.arange(_PF_SI)
+        jjs = kf1_g + jnp.arange(_PF_SJ)
+        ii_g = jnp.repeat(iis, _PF_SJ)
+        jj_g = jnp.tile(jjs, _PF_SI)
+        ok = ((ii_g >= 0) & (ii_g < t_g) & (jj_g >= 0) & (jj_g < t_g)
+              & (kf1_g >= 0))
+        ii_s = jnp.clip(ii_g, 0, B - 1)
+        jj_s = jnp.clip(jj_g, 0, B - 1)
+        prox_d = camera.frame_distance_bidirectional(
+            st2.cam_T_world, st2.idepths, st2.intrinsics, ii_s, jj_s,
+            cfg.beta)
+        prox_d = jnp.where(ok, prox_d, 1e6)
+
         edges = edges._replace(hidden=hidden, flow=flow,
                                flow_weight=flow_w,
                                corr_levels=edges.corr_levels)
-        return state, edges, flow_rms, kf_dist
+        return st2, edges, flow_rms, kf_dist, prox_d
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -538,7 +719,7 @@ class RaftVisualFrontend:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _store_frame_jit(self, state: KeyframeState, slot, img_u8,
-                         gt_depth, small, f, c, ci):
+                         gt_depth, small, f, c, ci, f1=None):
         """One fused buffer write.  small: packed floats
         [t_cam, intr(4)/dsf, gt_pose(16 row-major), has_depth]."""
         t_cam = small[0]
@@ -546,7 +727,7 @@ class RaftVisualFrontend:
         gt_pose = small[5:21].reshape(4, 4)
         has_depth = small[21] > 0
         gt_d = jnp.where(has_depth, gt_depth, state.gt_depths[slot])
-        return state._replace(
+        st = state._replace(
             timestamps=state.timestamps.at[slot].set(t_cam),
             images=state.images.at[slot].set(img_u8),
             intrinsics=state.intrinsics.at[slot].set(intr),
@@ -556,6 +737,17 @@ class RaftVisualFrontend:
             contexts=state.contexts.at[slot].set(c.astype(jnp.bfloat16)),
             cst_contexts=state.cst_contexts.at[slot].set(
                 ci.astype(jnp.bfloat16)))
+        if self.cfg.stereo and f1 is not None:
+            st = st._replace(features1=st.features1.at[slot].set(
+                f1.astype(jnp.bfloat16)))
+        return st
+
+    @partial(jax.jit, static_argnums=0)
+    def _encode_feat(self, params, image_norm):
+        """Feature-encoder-only pass (right camera: stereo edges need
+        features but no context, visual_frontend.py:839-846)."""
+        return self.net.apply(params, image_norm,
+                              method=DroidNet.features)[0]
 
     def _store_frame(self, k: int, slot: int, batch: Dict[str, Any],
                      encoded=None, img_dev=None):
@@ -569,12 +761,31 @@ class RaftVisualFrontend:
             encoded = self._encode(self.params,
                                    self._normalize_dev(img_dev))
         f, c, ci = encoded
+        f1 = None
+        if self.cfg.stereo:
+            right = batch.get("images_right")
+            assert right is not None, \
+                "stereo frontend needs batch['images_right']"
+            img1 = jnp.asarray(
+                np.ascontiguousarray(np.asarray(right)[..., :3]),
+                jnp.uint8)
+            f1 = self._encode_feat(self.params,
+                                   self._normalize_dev(img1))
 
         small = np.zeros(22, np.float32)
         small[0] = (float(batch["t_cams"])
                     if batch.get("t_cams") is not None else float(k))
         small[1:5] = np.asarray(batch["intrinsics"],
                                 np.float32) / self.cfg.dsf
+        # the proximity prefetch seeded this slot with the intrinsics of
+        # the keyframe it was issued from (last_kf_idx); if the incoming
+        # frame's intrinsics differ, the prefetched distance grid is
+        # stale -- invalidate it (ADVICE r1 #2)
+        seed = self._host_intrinsics.get(self.last_kf_idx)
+        if (self._dist_prefetch is not None and seed is not None
+                and not np.allclose(seed, small[1:5])):
+            self._dist_prefetch = None
+        self._host_intrinsics[slot] = small[1:5].copy()
         if batch.get("poses") is not None:
             small[5:21] = np.asarray(batch["poses"],
                                      np.float32).reshape(-1)
@@ -588,7 +799,7 @@ class RaftVisualFrontend:
 
         self.state = self._store_frame_jit(
             self.state, jnp.int32(slot), img_dev, gt_depth,
-            jnp.asarray(small), f, c, ci)
+            jnp.asarray(small), f, c, ci, f1)
         if batch.get("idepths_sensed") is not None:
             st = self.state
             self.state = st._replace(
@@ -730,7 +941,9 @@ class RaftVisualFrontend:
     # the reference's update() ------------------------------------------
     def update(self, use_inactive: bool = True, n_iters: int = 1,
                seed_sensed_slot: int = -1,
-               kf_dist_pair: Optional[Tuple[int, int]] = None):
+               kf_dist_pair: Optional[Tuple[int, int]] = None,
+               light: bool = False, seed_next: int = -1,
+               prefetch: bool = False):
         cfg = self.cfg
         g = self.graph
         if g.n_edges == 0:
@@ -761,19 +974,32 @@ class RaftVisualFrontend:
         L = pa["pair_a"].shape[0]
         packed = dba.pack_plan(pa, Ea + Ei, cfg.p_window, cfg.k_depth, L)
         # ONE host->device upload for the whole topology + iteration count
-        # + sensed-seed slot + keyframe-distance pair
+        # + sensed-seed slot + keyframe-distance pair + seeding/prefetch
         da, db = kf_dist_pair if kf_dist_pair is not None else (0, 0)
+        t_g, kf0_g, kf1_g = 0, 0, -1
+        if prefetch:
+            nk = self.kf_idx + 1              # the next keyframe index
+            t_g = nk + 1
+            kf0_g = nk - 4
+            kf1_g = max(nk + 1 - cfg.frontend_window, 0)
+            if (t_g - kf0_g > _PF_SI or t_g - kf1_g > _PF_SJ
+                    or kf0_g < 0):
+                t_g, kf0_g, kf1_g = 0, 0, -1   # grid too big: disable
         packed = np.concatenate([packed,
                                  np.array([n_iters, seed_sensed_slot,
-                                           da, db], np.int32)])
+                                           da, db, seed_next, t_g,
+                                           kf0_g, kf1_g], np.int32)])
 
-        state, edges, flow_rms, kf_dist = self._update_n(
+        state, edges, flow_rms, kf_dist, prox_d = self._update_n(
             self.params, self.state, self.edges, self.inactive,
-            jnp.asarray(packed))
+            jnp.asarray(packed), light)
         self.state = state
         self.edges = edges
+        if kf1_g >= 0:
+            self._dist_prefetch = ("grid", (t_g, kf0_g, kf1_g), prox_d)
         g.age += n_iters
-        self.viz_idx[kf0:self.kf_idx + 1] = True
+        if not light:
+            self.viz_idx[kf0:self.kf_idx + 1] = True
         self.last_flow_rms = flow_rms   # device scalar; sync only if read
         self.last_kf_dist = kf_dist     # device scalar
         return flow_rms
@@ -869,7 +1095,10 @@ class RaftVisualFrontend:
         return np.asarray(d)[:n]
 
     def add_neighborhood_factors(self, kf0, kf1, radius=3):
-        ii, jj = graphlib.neighborhood_edges(kf0, kf1, radius)
+        # stereo (i, i) edges enter via add_proximity_factors, exactly
+        # like the reference (visual_frontend.py:698-705, 741-745)
+        ii, jj = graphlib.neighborhood_edges(kf0, kf1, radius,
+                                             stereo=self.cfg.stereo)
         self.add_factors(ii, jj)
 
     def _issue_distance(self, ii, jj):
@@ -893,7 +1122,9 @@ class RaftVisualFrontend:
         """Issue the NEXT keyframe's proximity distance grid now, so its
         result lands during the inter-frame gap instead of blocking the
         next __update (the query depends only on keyframe state, which
-        the next frame's store does not touch)."""
+        the next frame's store does not touch).  Steady-state keyframes
+        instead get this fused into _update_n (prefetch=True); this
+        explicit path serves initialization."""
         cfg = self.cfg
         nk = self.kf_idx + 1              # the next keyframe index
         t = nk + 1
@@ -902,7 +1133,7 @@ class RaftVisualFrontend:
         ii_g, jj_g = np.meshgrid(np.arange(kf0, t), np.arange(kf1, t),
                                  indexing="ij")
         d, n = self._issue_distance(ii_g.ravel(), jj_g.ravel())
-        self._dist_prefetch = ((t, kf0, kf1), d, n)
+        self._dist_prefetch = ("flat", (t, kf0, kf1), d, n)
 
     def add_proximity_factors(self, kf0=0, kf1=0, rad=2, nms=2,
                               beta=0.3, thresh=16.0, remove=False):
@@ -911,20 +1142,28 @@ class RaftVisualFrontend:
         jx = np.arange(kf1, t)
         ii_g, jj_g = np.meshgrid(ix, jx, indexing="ij")
         pf = getattr(self, "_dist_prefetch", None)
-        if pf is not None and pf[0] == (t, kf0, kf1):
-            d = np.asarray(pf[1])[:pf[2]]
+        if pf is not None and pf[1] == (t, kf0, kf1):
+            if pf[0] == "grid":
+                # fused-prefetch layout: padded (_PF_SI, _PF_SJ) grid
+                dg = np.asarray(pf[2]).reshape(_PF_SI, _PF_SJ)
+                d = dg[: t - kf0, : t - kf1].ravel()
+            else:
+                d = np.asarray(pf[2])[:pf[3]]
             self._dist_prefetch = None
         else:
             d = self.distance(ii_g.ravel(), jj_g.ravel())
         ii, jj = graphlib.proximity_edges(
             self.graph, d, self.kf_idx, kf0, kf1, rad, nms, thresh,
-            self.cfg.max_factors, stereo=False)
+            self.cfg.max_factors, stereo=self.cfg.stereo)
         if ii.shape[0]:
             self.add_factors(ii, jj, remove)
 
     def rm_keyframe(self, kf_idx: int):
         """visual_frontend.py:529-574: roll buffers down over kf_idx."""
         self._dist_prefetch = None       # state permutes: prefetch stale
+        self._host_intrinsics = {
+            (i if i < kf_idx else i - 1): v
+            for i, v in self._host_intrinsics.items() if i != kf_idx}
         st = self.state
         B = self.cfg.buffer
         perm = np.arange(B)
@@ -971,19 +1210,22 @@ class RaftVisualFrontend:
         img_dev = jnp.asarray(
             np.ascontiguousarray(np.asarray(batch["images"])[..., :3]),
             jnp.uint8)
-        f, c, ci, mag = self._encode_motion(
-            self.params, self.state, jnp.int32(self.last_kf_idx),
-            self._normalize_dev(img_dev))
-        encoded = (f, c, ci)
-        # a disabled filter (thresh < 0) admits every frame without
-        # forcing the device scalar to host (one round trip per frame)
-        if (self.cfg.motion_filter_thresh >= 0
-                and not float(mag) > self.cfg.motion_filter_thresh):
-            if batch.get("is_last_frame"):
-                self.kf_idx -= 1
-                self.terminate()
-                return self.get_viz_out(batch)
-            return None
+        if self.cfg.motion_filter_thresh >= 0:
+            f, c, ci, mag = self._encode_motion(
+                self.params, self.state, jnp.int32(self.last_kf_idx),
+                self._normalize_dev(img_dev))
+            encoded = (f, c, ci)
+            if not float(mag) > self.cfg.motion_filter_thresh:
+                if batch.get("is_last_frame"):
+                    self.kf_idx -= 1
+                    self.terminate()
+                    return self.get_viz_out(batch)
+                return None
+        else:
+            # a disabled filter admits every frame: skip the motion-GRU
+            # pass entirely (its corr volume + update would be discarded)
+            encoded = self._encode(self.params,
+                                   self._normalize_dev(img_dev))
 
         self._store_frame(k, self.kf_idx, batch, encoded=encoded,
                           img_dev=img_dev)
@@ -1056,37 +1298,33 @@ class RaftVisualFrontend:
             thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True)
         self._end_edge_txn()
 
-        # sensed-depth seeding + keyframe-rejection distance are fused
-        # into the update jit (no separate dispatches)
-        self.update(use_inactive=True, n_iters=cfg.iters1,
-                    seed_sensed_slot=self.kf_idx,
-                    kf_dist_pair=(self.kf_idx - 2, self.kf_idx - 1))
-
-        if (cfg.keyframe_thresh >= 0
-                and float(self.last_kf_dist) < cfg.keyframe_thresh):
-            return False
-
-        self.update(use_inactive=True, n_iters=cfg.iters2)
-
+        # next-kf seeding + proximity prefetch + sensed-depth seeding +
+        # keyframe-rejection distance are all fused into the update jit
         nxt = self.kf_idx + 1
-        if nxt < cfg.buffer:
-            st = self.state
-            self.state = st._replace(
-                cam_T_world=st.cam_T_world.at[nxt].set(
-                    st.cam_T_world[self.kf_idx]),
-                pose_cov=st.pose_cov.at[nxt].set(
-                    st.pose_cov[self.kf_idx]),
-                idepths=st.idepths.at[nxt].set(
-                    st.idepths[self.kf_idx].mean()),
-                idepths_cov=st.idepths_cov.at[nxt].set(
-                    st.idepths_cov[self.kf_idx]),
-                depths_cov=st.depths_cov.at[nxt].set(
-                    st.depths_cov[self.kf_idx]),
-                # intrinsics too: the prefetched distance grid touches
-                # slot nxt before its frame is stored
-                intrinsics=st.intrinsics.at[nxt].set(
-                    st.intrinsics[self.kf_idx]))
-            self._prefetch_proximity()
+        seed_next = nxt if nxt < cfg.buffer else -1
+
+        if cfg.keyframe_thresh >= 0:
+            # two-phase: a light pre-rejection update, then (on accept)
+            # the full update with exports + seeding + prefetch
+            ran = self.update(
+                use_inactive=True, n_iters=cfg.iters1,
+                seed_sensed_slot=self.kf_idx,
+                kf_dist_pair=(self.kf_idx - 2, self.kf_idx - 1),
+                light=True)
+            # gate on the update having actually run: with an empty
+            # graph last_kf_dist is stale and must not reject
+            if (ran is not None
+                    and float(self.last_kf_dist) < cfg.keyframe_thresh):
+                return False
+            self.update(use_inactive=True, n_iters=cfg.iters2,
+                        seed_next=seed_next, prefetch=seed_next >= 0)
+        else:
+            # rejection disabled: ONE fused call covers both reference
+            # update rounds (iters1 + iters2), halving dispatches
+            self.update(
+                use_inactive=True, n_iters=cfg.iters1 + cfg.iters2,
+                seed_sensed_slot=self.kf_idx,
+                seed_next=seed_next, prefetch=seed_next >= 0)
         return True
 
     # global bundle adjustment (terminate path) -------------------------

@@ -129,7 +129,9 @@ def save_nerf(path: str, fusion) -> None:
     """Snapshot a NerfFusion (hash table, MLPs, Adam state, train set)."""
     save_arrays(path, {"params": fusion.params._asdict(),
                        "opt_state": fusion.opt_state,
-                       "train_set": fusion.train_set},
+                       "train_set": fusion.train_set,
+                       "pose_deltas": fusion.pose_deltas,
+                       "pose_opt_state": fusion.pose_opt_state},
                 {"iteration": fusion.iteration})
 
 
@@ -143,4 +145,8 @@ def load_nerf(path: str, fusion) -> None:
                                       "opt_state.")
     fusion.train_set = unflatten_into(fusion.train_set, flat,
                                       "train_set.")
+    fusion.pose_deltas = unflatten_into(fusion.pose_deltas, flat,
+                                        "pose_deltas")
+    fusion.pose_opt_state = unflatten_into(fusion.pose_opt_state, flat,
+                                           "pose_opt_state.")
     fusion.iteration = meta.get("iteration", 0)

@@ -47,7 +47,47 @@ def profile_trace(logdir: str = "/tmp/nerf_slam_tpu_trace"):
 # jits).  All pipeline stages that touch the device take this lock at
 # spin granularity; on a single chip device work serializes anyway, so
 # the throughput cost is limited to lost host/device overlap.
+#
+# On non-tunneled hardware the lock is unnecessary (PJRT clients are
+# thread-safe): set NERF_SLAM_TPU_NO_LOCK=1 to replace it with a no-op
+# so stages dispatch concurrently -- required for the two-device
+# tracking||mapping split (--device_split) to actually overlap.
 # ---------------------------------------------------------------------------
+import os as _os
 import threading
 
-DEVICE_LOCK = threading.RLock()
+
+class _NullLock:
+    """Reentrant no-op stand-in for DEVICE_LOCK."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def acquire(self, *a, **k):
+        return True
+
+    def release(self):
+        pass
+
+
+DEVICE_LOCK = (_NullLock() if _os.environ.get("NERF_SLAM_TPU_NO_LOCK")
+               else threading.RLock())
+
+
+def fusion_device(device_split: bool = False):
+    """Device for the mapping stage: the second chip under
+    --device_split (reference slam_demo.py:63-71 two-GPU placement;
+    here the handoff rides ICI instead of a CPU bounce), else None
+    (default device)."""
+    import jax
+    if not device_split:
+        return None
+    devs = jax.devices()
+    if len(devs) < 2:
+        print("device_split requested but only one device visible; "
+              "falling back to shared-device scheduling")
+        return None
+    return devs[1]

@@ -279,3 +279,46 @@ def test_lookup_pyramid_l0_matches_per_level():
     per = jnp.concatenate(per, axis=-1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(per),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_lookup_grouped4_matches_pyramid_reference():
+    """Fused grouped weighted-hot 4-level kernel vs the XLA pyramid."""
+    from nerf_slam_tpu.ops import corr_pallas
+    rng = np.random.RandomState(15)
+    E, C, H, W = 2, 16, 16, 16    # W1 = 16 exercises the grouped path
+    f1 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    f2 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    levels = corr.build_pyramid_bf16(f1, f2, 4, pad_rows_to=8)
+    coords = jnp.asarray(
+        (rng.rand(E, H, W, 2) * np.array([W + 2, H + 2]) - 1.5
+         ).astype(np.float32))
+    want = corr.CorrPyramid(
+        [lv.astype(jnp.float32) for lv in levels])(coords)
+    want = jnp.transpose(want, (0, 2, 3, 1))     # -> NHWC
+    dims = corr_pallas.pyramid_dims(H, W)
+    got = corr_pallas.lookup_pyramid_grouped4_nhwc(
+        tuple(levels), coords, dims, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_lookup_grouped4_fallback_small():
+    """Odd widths take the per-pixel fallback and still match."""
+    from nerf_slam_tpu.ops import corr_pallas
+    rng = np.random.RandomState(16)
+    E, C, H, W = 1, 8, 8, 10      # W1 % 16 != 0 -> fallback
+    f1 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    f2 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    levels = corr.build_pyramid_bf16(f1, f2, 4, pad_rows_to=8)
+    coords = jnp.asarray(
+        (rng.rand(E, H, W, 2) * np.array([W - 1, H - 1])
+         ).astype(np.float32))
+    want = corr.CorrPyramid(
+        [lv.astype(jnp.float32) for lv in levels])(coords)
+    want = jnp.transpose(want, (0, 2, 3, 1))
+    dims = corr_pallas.pyramid_dims(H, W)
+    got = corr_pallas.lookup_pyramid_grouped4_nhwc(
+        tuple(levels), coords, dims, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)

@@ -111,6 +111,48 @@ def test_incremental_solver():
         assert float(jnp.abs(err).max()) < 1e-3, (i, err)
 
 
+def test_incremental_solver_is_actually_incremental():
+    """Fluid relinearization: once the back of the chain has converged,
+    growing the graph must not relinearize old factors, and the result
+    must match a batch Gauss-Newton solve."""
+    n = 8
+    poses = make_pose_chain(n, seed=7)
+    solver = IncrementalSolver()
+    g = FactorGraph()
+    g.add(PriorFactor(Key("x", 0), poses[0], SE3_VAR, sigma=1e-3))
+    v = Variables().insert(Key("x", 0), poses[0], SE3_VAR)
+    solver.update(g, v)
+    for i in range(1, n):
+        meas = se3.mul(poses[i], se3.inv(poses[i - 1]))
+        g.add(BetweenFactorSE3(Key("x", i - 1), Key("x", i), meas,
+                               sigma=0.01))
+        nv = Variables().insert(Key("x", i),
+                                se3.retr(poses[i], 0.05 * jnp.ones(6)),
+                                SE3_VAR)
+        res = solver.update(g, nv)
+        # steady state: each update linearizes O(1) factors (the new
+        # one, plus at most its immediate neighbourhood while the new
+        # pose's lin point settles), never the whole graph
+        if i >= 3:
+            assert res.iterations <= 4, (i, res.iterations,
+                                         solver.stats)
+
+    assert solver.stats["reused"] > solver.stats["relinearized"], \
+        solver.stats
+
+    # parity with a batch solve from the same initialization
+    vb = Variables()
+    for i in range(n):
+        init = poses[i] if i == 0 else se3.retr(poses[i],
+                                                0.05 * jnp.ones(6))
+        vb.insert(Key("x", i), init, SE3_VAR)
+    batch = GaussNewton(max_iters=10).solve(g, vb)
+    for i in range(n):
+        d = se3.log(se3.mul(res.variables.at(Key("x", i)),
+                            se3.inv(batch.variables.at(Key("x", i)))))
+        assert float(jnp.abs(d).max()) < 1e-3, (i, d)
+
+
 def test_linear_ls():
     rng = np.random.RandomState(0)
     A = jnp.asarray(rng.randn(30, 4).astype(np.float32))

@@ -111,3 +111,69 @@ def test_fuse_packet_contract():
 
     done = fusion.fuse({"is_last_frame": True})
     assert done
+
+
+def test_extrinsics_refinement_recovers_perturbed_poses():
+    """Mapping-time extrinsics refinement (reference nerf_fusion.py:99).
+
+    Protocol matching the capability's operating regime (see
+    NerfFusionConfig.optimize_extrinsics): the field forms near the true
+    poses first, then perturbed extrinsics are pulled back during the
+    coordinate-descent pose phases.  (Field formed ON wrong poses
+    co-adapts and the pose gradient becomes uninformative -- measured,
+    not fixable by schedule -- hence refinement is a correction for
+    drift on top of good SLAM poses, not a rescue for bad ones.)"""
+    ds = SyntheticDataset(SyntheticConfig(n_frames=6, height=48, width=64))
+    ngp = NGPConfig(n_uniform=32, n_depth=16, encoding="hash",
+                    grid=__import__("nerf_slam_tpu.fusion.hashgrid",
+                                    fromlist=["HashGridConfig"]
+                                    ).HashGridConfig(
+                        n_levels=6, log2_table_size=14,
+                        base_resolution=4, finest_resolution=64))
+    cfg = NerfFusionConfig(buffer=6, height=48, width=64,
+                           batch_rays=1024, ngp=ngp,
+                           scale=0.2, offset=(0.5, 0.5, 0.25),
+                           optimize_extrinsics=True,
+                           extrinsics_start=200, extrinsics_lr=1e-3,
+                           # period == pose_iters: the field stays
+                           # frozen while poses recover (measured: 10x
+                           # error reduction; interleaving field updates
+                           # lets the field co-adapt to the wrong poses
+                           # and stalls recovery at ~1.3x)
+                           extrinsics_period=50,
+                           extrinsics_pose_iters=50)
+    fusion = NerfFusion(cfg, seed=0)
+
+    ids, c2ws, imgs, depths, covs, intrs = [], [], [], [], [], []
+    for k in range(6):
+        p = ds[k]
+        ids.append(k)
+        c2ws.append(np.asarray(p["poses"], np.float32))
+        imgs.append(p["images"])
+        depths.append(p["depths"])
+        covs.append(0.01 * np.ones_like(p["depths"]))
+        intrs.append(p["intrinsics"])
+    fusion.update_training_images(np.array(ids), np.stack(c2ws),
+                                  np.stack(imgs), np.stack(depths),
+                                  np.stack(covs), np.stack(intrs))
+
+    # phase 1: field forms at the true poses (pose opt not yet engaged)
+    fusion.fit_volume(200)
+
+    # phase 2: perturb the extrinsics deltas (view 0 anchors the gauge)
+    rng = np.random.default_rng(0)
+    pert = np.zeros((6, 6), np.float32)
+    pert[1:] = 0.01 * rng.standard_normal((5, 6)).astype(np.float32)
+    fusion.pose_deltas = jnp.asarray(pert)
+    fusion.pose_opt_state = fusion.pose_opt.init(fusion.pose_deltas)
+
+    def pose_err():
+        d = np.asarray(fusion.pose_deltas)[1:]
+        return float(np.abs(d).mean())
+
+    err0 = pose_err()
+    fusion.fit_volume(200)
+    err1 = pose_err()
+    assert float(jnp.abs(fusion.pose_deltas[1:]).max()) > 0, \
+        "pose deltas never moved"
+    assert err1 < 0.3 * err0, (err0, err1)

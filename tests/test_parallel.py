@@ -64,3 +64,47 @@ def test_sharded_dba_matches_single_device():
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(disps_s), np.asarray(res.disps),
                                atol=5e-4)
+
+
+def test_sharded_frontend_matches_single_device():
+    """The PRODUCT path: RaftVisualFrontend with cfg.edge_shards > 1
+    runs its fused GRU+DBA update shard_map'd over a device mesh and
+    must track identically to the single-device frontend."""
+    import jax.numpy as jnp
+    from nerf_slam_tpu.datasets import SyntheticDataset, SyntheticConfig
+    from nerf_slam_tpu.models import DroidNet
+    from nerf_slam_tpu.tracking import RaftVisualFrontend, FrontendConfig
+
+    H, W = 48, 64
+    h, w = H // 8, W // 8
+    net = DroidNet(dtype=jnp.bfloat16)
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
+        jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
+        jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
+        jnp.array([0]), 1)
+    kw = dict(buffer=10, e_active=24, e_inactive=16, p_window=10,
+              k_depth=12, keyframe_warmup=4, max_factors=20,
+              motion_filter_thresh=-1.0, keyframe_thresh=-1.0,
+              iters1=1, iters2=1, gn_iters=1)
+    ds = SyntheticDataset(SyntheticConfig(n_frames=8, height=H, width=W))
+
+    def track(shards):
+        fe = RaftVisualFrontend(
+            params, FrontendConfig(edge_shards=shards, **kw), (H, W))
+        for k, pkt in enumerate(ds):
+            fe(k, pkt)
+        n = fe.kf_idx
+        return (np.asarray(fe.state.cam_T_world[:n]),
+                np.asarray(fe.state.idepths[:n]),
+                np.asarray(fe.state.pose_cov[:n]), n)
+
+    poses1, disps1, cov1, n1 = track(1)
+    poses4, disps4, cov4, n4 = track(4)
+    assert n1 == n4
+    # not bitwise: psum reduction order + bf16 GRU divergence compounds
+    # over 8 frames of fused updates; 1e-3 still rules out any real
+    # topology/assembly mismatch (wrong edges diverge at O(1))
+    np.testing.assert_allclose(poses4, poses1, atol=1e-3)
+    np.testing.assert_allclose(disps4, disps1, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(cov4, cov1, rtol=0.15, atol=1e-6)
