@@ -28,6 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--initial_k", type=int, default=0)
     p.add_argument("--final_k", type=int, default=-1)
     p.add_argument("--stereo", action="store_true")
+    p.add_argument("--vio", action="store_true",
+                   help="visual-inertial: wrap the frontend in VioSLAM "
+                        "and feed imu_t0_t1 packets to the inertial "
+                        "frontend (reference slam/vio_slam.py)")
     p.add_argument("--weights", type=str, default=None,
                    help="droid.pth checkpoint (torch) to convert")
     p.add_argument("--fusion", type=str, default="nerf",
@@ -60,7 +64,8 @@ def build_dataset(args):
                    n_frames=args.n_frames, height=args.height,
                    width=args.width, initial_k=args.initial_k,
                    final_k=args.final_k, buffer=args.buffer,
-                   stereo=getattr(args, "stereo", False))
+                   stereo=getattr(args, "stereo", False),
+                   imu=getattr(args, "vio", False))
 
 
 def build_frontend(args, image_size):
@@ -142,8 +147,30 @@ def run(args) -> dict:
     frontend = build_frontend(args, image_size)
     fusion, fusion_mode = build_fusion(args)
 
+    tracker = frontend
+    if getattr(args, "vio", False):
+        # VioSLAM: visual frontend + inertial factors into the backend
+        # (reference slam/vio_slam.py:78-127)
+        import numpy as _np
+        from ..datasets.base import ImuCalibration
+        from ..geometry import se3 as _se3
+        from ..slam.imu import NavState, PreIntegrationInertialFrontend
+        from ..slam.meta_slam import VioSLAM
+        calib = getattr(dataset, "imu", None) or ImuCalibration()
+        pose0 = _np.array([0, 0, 0, 0, 0, 0, 1.0])
+        if probe.get("poses") is not None:
+            pose0 = _np.asarray(_se3.from_matrix(
+                _np.asarray(probe["poses"], _np.float64)))
+        vel0 = _np.zeros(3)
+        if hasattr(dataset, "velocity_at"):
+            vel0 = dataset.velocity_at(float(probe["t_cams"]))
+        inertial = PreIntegrationInertialFrontend(
+            calib, NavState(pose=pose0, vel=vel0),
+            timestamps_ns=True)
+        tracker = VioSLAM(frontend, inertial)
+
     data_m = DataModule(dataset, img_stride=args.img_stride)
-    slam_m = SlamModule(frontend)
+    slam_m = SlamModule(tracker)
     sink = EvalSink()
     modules = [data_m, slam_m, sink]
     connect(data_m, slam_m, "data")
@@ -186,6 +213,12 @@ def run(args) -> dict:
         est, gt = trajectory_from_packet(sink.last_full)
         if est.shape[0] >= 3:
             results["ate_rmse_m"] = ate_rmse(est, gt)
+
+    if getattr(args, "vio", False) and tracker.backend.estimate is not None:
+        ks = sorted(i.idx for i in tracker.backend.estimate.keys()
+                    if i.name == "x")
+        results["vio_states"] = len(ks)
+        results["vio_relinearized"] = tracker.backend.stats["relinearized"]
 
     if args.eval and fusion is not None:
         if hasattr(fusion, "evaluate_training_views"):

@@ -142,7 +142,7 @@ class EurocDataset(Dataset):
         img = np.repeat(img[..., None], 3, axis=-1)
         t_ns = int(self.timestamps[k])
         pose = self._gt_pose(t_ns)
-        return {
+        pkt = {
             "k": k,
             "t_cams": t_ns * 1e-9,
             "poses": None if pose is None else pose.astype(np.float32),
@@ -152,3 +152,9 @@ class EurocDataset(Dataset):
             "calib": self.calib,
             "is_last_frame": k == len(self) - 1,
         }
+        if k > 0:
+            # inertial window (t_{k-1}, t_k] for the VIO frontend
+            # (reference euroc_dataset.py packet's imu_t0_t1)
+            pkt["imu_t0_t1"] = self.imu_between(
+                int(self.timestamps[k - 1]), t_ns)
+        return pkt

@@ -36,6 +36,14 @@ class SyntheticConfig:
     # ``images_right`` (reference datasets/euroc_dataset.py:37-62)
     stereo: bool = False
     baseline: float = 0.1
+    # imu: simulate a body-mounted IMU by differentiating the continuous
+    # orbit trajectory; packets gain ``imu_t0_t1`` rows in the EuRoC
+    # layout (N, 7) [t_ns, wx, wy, wz, ax, ay, az] covering
+    # (t_{k-1}, t_k] (reference datasets/euroc_dataset.py:164-199)
+    imu: bool = False
+    imu_rate_hz: float = 200.0
+    fps: float = 30.0
+    gravity: tuple = (0.0, 0.0, -9.81)
 
 
 def _texture(p: np.ndarray, normal_axis: int,
@@ -127,23 +135,57 @@ class SyntheticDataset:
             if c.seed else (1.7, 0.5, 2.9, 0.0)
         self.poses = self._trajectory()
 
-    def _trajectory(self):
+    def _pose_at(self, fi: float) -> np.ndarray:
+        """c2w at continuous frame index ``fi`` (the orbit is analytic,
+        so the same formula serves rendering and IMU simulation)."""
         c = self.cfg
-        poses = []
-        for i in range(c.n_frames):
-            if c.deg_per_frame is not None:
-                a = np.radians(c.start_deg + i * c.deg_per_frame)
-            else:
-                a = 2 * np.pi * i / c.n_frames
-            eye = np.array([c.orbit_radius * np.cos(a),
-                            c.orbit_radius * np.sin(a),
-                            0.5 * c.room_height
-                            + 0.2 * np.sin(2 * a)])
-            target = np.array([2.0 * np.cos(a + 0.7),
-                               2.0 * np.sin(a + 0.7),
-                               0.5 * c.room_height])
-            poses.append(look_at(eye, target))
-        return np.stack(poses)
+        if c.deg_per_frame is not None:
+            a = np.radians(c.start_deg + fi * c.deg_per_frame)
+        else:
+            a = 2 * np.pi * fi / c.n_frames
+        eye = np.array([c.orbit_radius * np.cos(a),
+                        c.orbit_radius * np.sin(a),
+                        0.5 * c.room_height + 0.2 * np.sin(2 * a)])
+        target = np.array([2.0 * np.cos(a + 0.7),
+                           2.0 * np.sin(a + 0.7),
+                           0.5 * c.room_height])
+        return look_at(eye, target)
+
+    def _trajectory(self):
+        return np.stack([self._pose_at(float(i))
+                         for i in range(self.cfg.n_frames)])
+
+    def _log_so3(self, R: np.ndarray) -> np.ndarray:
+        ct = np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)
+        th = np.arccos(ct)
+        if th < 1e-9:
+            return 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                                   R[1, 0] - R[0, 1]])
+        return th / (2 * np.sin(th)) * np.array(
+            [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+
+    def simulate_imu(self, t0: float, t1: float) -> np.ndarray:
+        """Perfect-IMU rows over (t0, t1]: gyro = body angular rate,
+        accel = specific force R^T (a_world - g), both from central
+        differences of the analytic trajectory."""
+        c = self.cfg
+        n = max(2, int(round((t1 - t0) * c.imu_rate_hz)) + 1)
+        ts = np.linspace(t0, t1, n)
+        eps = 1e-4  # seconds, for central differences
+        g = np.asarray(c.gravity)
+        rows = np.zeros((n, 7))
+        for r, t in enumerate(ts):
+            fi = t * c.fps
+            dfi = eps * c.fps
+            Pm = self._pose_at(fi - dfi)
+            P0 = self._pose_at(fi)
+            Pp = self._pose_at(fi + dfi)
+            R0 = P0[:3, :3]
+            w_body = self._log_so3(Pm[:3, :3].T @ Pp[:3, :3]) / (2 * eps)
+            a_world = (Pp[:3, 3] - 2 * P0[:3, 3] + Pm[:3, 3]) / eps ** 2
+            a_body = R0.T @ (a_world - g)
+            rows[r] = [t * 1e9, *w_body, *a_body]
+        return rows
 
     def __len__(self):
         return self.cfg.n_frames
@@ -155,13 +197,16 @@ class SyntheticDataset:
                              self.tex_phases)
         out = {
             "k": k,
-            "t_cams": float(k) / 30.0,
+            "t_cams": float(k) / c.fps,
             "poses": self.poses[k].astype(np.float32),
             "images": rgb,
             "depths": depth,
             "intrinsics": self.K.copy(),
             "is_last_frame": k == c.n_frames - 1,
         }
+        if c.imu and k > 0:
+            out["imu_t0_t1"] = self.simulate_imu((k - 1) / c.fps,
+                                                 k / c.fps)
         if c.stereo:
             c2w_r = self.poses[k].copy()
             # right camera: +baseline along the camera x axis
@@ -174,6 +219,14 @@ class SyntheticDataset:
             out["stereo_rel"] = np.array(
                 [-c.baseline, 0, 0, 0, 0, 0, 1], np.float32)
         return out
+
+    def velocity_at(self, t: float) -> np.ndarray:
+        """World-frame velocity of the analytic trajectory (for seeding
+        a VIO NavState)."""
+        eps = 1e-4
+        fps = self.cfg.fps
+        return (self._pose_at((t + eps) * fps)[:3, 3]
+                - self._pose_at((t - eps) * fps)[:3, 3]) / (2 * eps)
 
     def __iter__(self) -> Iterator[Dict]:
         for k in range(len(self)):

@@ -43,12 +43,14 @@ class DataModule(PipelineModule):
 
 
 class SlamModule(PipelineModule):
-    """Tracking stage wrapping RaftVisualFrontend
-    (reference slam/slam_module.py)."""
+    """Tracking stage wrapping RaftVisualFrontend or a SLAM object
+    (VioSLAM) (reference slam/slam_module.py)."""
 
     def __init__(self, frontend, parallel_run: bool = True):
         super().__init__("slam", parallel_run)
         self.frontend = frontend
+        from ..slam.meta_slam import SLAM
+        self._is_slam = isinstance(frontend, SLAM)
 
     def spin_once(self, packet):
         from ..utils.runtime import DEVICE_LOCK
@@ -59,7 +61,10 @@ class SlamModule(PipelineModule):
         if packet is None:
             return None
         with DEVICE_LOCK:
-            out = self.frontend(packet["k"], packet)
+            if self._is_slam:
+                _, out = self.frontend(packet)   # (backend state, viz)
+            else:
+                out = self.frontend(packet["k"], packet)
         if self.frontend.stop_condition():
             self.shutdown_module()
         return out

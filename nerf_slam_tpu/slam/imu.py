@@ -172,3 +172,87 @@ class BiasBetweenFactor(Factor):
 
     def residual(self, bi, bj):
         return bj - bi
+
+
+class PreIntegrationInertialFrontend:
+    """Inertial frontend: per-frame preintegration -> factor batch.
+
+    Equivalent of the reference PreIntegrationInertialFrontend
+    (/root/reference/slam/inertial_frontends/inertial_frontend.py:47-192):
+    consumes the packet's ``imu_t0_t1`` rows ((N, 7)
+    [t, wx, wy, wz, ax, ay, az], EuRoC layout), preintegrates them,
+    predicts the next NavState for the initial guess, and emits
+    ImuFactor + BiasBetweenFactor (+ priors on the first state) for the
+    backend graph.  Keys: pose ``x(k)``, velocity ``v(k)``, bias
+    ``b(k)`` (6-vec [acc, gyr]).
+
+    Like the reference (:67-136), bias is handled first-order: the
+    current bias estimate is baked into each preintegration and evolves
+    via random-walk between-factors; the ImuFactor does not
+    relinearize w.r.t. bias.
+    """
+
+    def __init__(self, calib: ImuCalibration,
+                 initial_state: Optional[NavState] = None,
+                 pose_prior_sigma: float = 1e-4,
+                 vel_prior_sigma: float = 1e-3,
+                 bias_prior_sigma: float = 1e-2,
+                 timestamps_ns: bool = True):
+        self.calib = calib
+        self.state = initial_state or NavState(
+            pose=np.array([0, 0, 0, 0, 0, 0, 1.0]), vel=np.zeros(3))
+        self.bias = ImuBias()
+        self.k = -1            # index of the latest emitted state
+        self.pose_prior_sigma = pose_prior_sigma
+        self.vel_prior_sigma = vel_prior_sigma
+        self.bias_prior_sigma = bias_prior_sigma
+        self.timestamps_ns = timestamps_ns
+
+    def _bias_vec(self) -> np.ndarray:
+        return np.concatenate([self.bias.acc, self.bias.gyr])
+
+    def __call__(self, batch):
+        """-> (x0 Variables for NEW variables, FactorGraph of new factors).
+
+        First call seeds state 0 with priors; later calls preintegrate
+        ``imu_t0_t1`` into an (x_k, v_k) -> (x_{k+1}, v_{k+1}) factor.
+        """
+        from ..solver.factor_graph import (FactorGraph, PriorFactor,
+                                           SE3_VAR, Variables)
+        x0 = Variables()
+        g = FactorGraph()
+
+        if self.k < 0:
+            self.k = 0
+            x0.insert(Key("x", 0), self.state.pose, SE3_VAR)
+            x0.insert(Key("v", 0), self.state.vel, VECTOR(3))
+            x0.insert(Key("b", 0), self._bias_vec(), VECTOR(6))
+            g.add(PriorFactor(Key("x", 0), self.state.pose, SE3_VAR,
+                              sigma=self.pose_prior_sigma))
+            g.add(PriorFactor(Key("v", 0), self.state.vel, VECTOR(3),
+                              sigma=self.vel_prior_sigma))
+            g.add(PriorFactor(Key("b", 0), self._bias_vec(), VECTOR(6),
+                              sigma=self.bias_prior_sigma))
+            return x0, g
+
+        imu = batch.get("imu_t0_t1")
+        if imu is None or np.asarray(imu).shape[0] < 2:
+            return None, None
+
+        pim = PreintegratedImuMeasurements(self.calib, self.bias)
+        pim.integrate_batch(np.asarray(imu, np.float64),
+                            timestamps_ns=self.timestamps_ns)
+        predicted = pim.predict(self.state)
+
+        i, j = self.k, self.k + 1
+        g.add(ImuFactor(Key("x", i), Key("v", i),
+                        Key("x", j), Key("v", j), pim))
+        g.add(BiasBetweenFactor(Key("b", i), Key("b", j), pim.dt,
+                                self.calib))
+        x0.insert(Key("x", j), predicted.pose, SE3_VAR)
+        x0.insert(Key("v", j), predicted.vel, VECTOR(3))
+        x0.insert(Key("b", j), self._bias_vec(), VECTOR(6))
+
+        self.state = predicted
+        self.k = j
+        return x0, g

@@ -62,8 +62,9 @@ class VioSLAM(SLAM):
     def _frontend(self, batch):
         viz_out = self.visual_frontend(batch["k"], batch)
         x0, factors = None, None
-        if self.inertial_frontend is not None and \
-                batch.get("imu_t0_t1") is not None:
+        if self.inertial_frontend is not None:
+            # the frontend gates on imu_t0_t1 itself (frame 0 has no
+            # window but must seed the state-0 priors)
             x0, factors = self.inertial_frontend(batch)
         return x0, factors, viz_out
 
