@@ -349,11 +349,22 @@ def pyramid_dims(h: int, w: int, num_levels: int = 4):
 # ---------------------------------------------------------------------------
 
 
-def _make_grouped4_kernel(dims):
-    """dims: ((H_l, W_l) x 4) REAL level dims (slabs may pad rows)."""
+def _make_grouped4_kernel(dims, gated: bool = False):
+    """dims: ((H_l, W_l) x 4) REAL level dims (slabs may pad rows).
 
-    def kernel(pix_ref, v0_ref, v1_ref, v2_ref, v3_ref, out_ref):
+    ``gated``: the kernel takes a leading scalar-prefetch ref holding the
+    ACTIVE edge count; programs for padded edge slots skip all compute
+    (their outputs are garbage, masked downstream by edge validity), and
+    their input index maps clamp to the last active edge so the pipeline
+    elides the repeated DMAs."""
+
+    def kernel(*refs):
+        if gated:
+            n_ref, pix_ref, v0_ref, v1_ref, v2_ref, v3_ref, out_ref = refs
+        else:
+            pix_ref, v0_ref, v1_ref, v2_ref, v3_ref, out_ref = refs
         _, R, W1, _ = pix_ref.shape
+        out_dtype = out_ref.dtype
         G = _G
         per_row = W1 // G
         n_groups = R * per_row
@@ -435,21 +446,36 @@ def _make_grouped4_kernel(dims):
                     preferred_element_type=jnp.float32)  # ((p,b), 8a)
                 S = S.reshape(G, 8, 8)                   # (p, b, a)
                 # output contract is (a, b) x-offset major
-                out_ref[0, r_idx, sl, lvl] = jnp.swapaxes(S, -1, -2)
+                out_ref[0, r_idx, sl, lvl] = jnp.swapaxes(
+                    S, -1, -2).astype(out_dtype)
             return 0
 
-        jax.lax.fori_loop(0, n_groups, body, 0)
+        if gated:
+            # gated grid order is (y, edge): edge is the INNER dim, so
+            # the clamped DMAs of consecutive padded slots repeat the
+            # same block index and the pipeline elides the re-fetch
+            @pl.when(pl.program_id(1) < n_ref[0])
+            def _():
+                jax.lax.fori_loop(0, n_groups, body, 0)
+        else:
+            jax.lax.fori_loop(0, n_groups, body, 0)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "interpret"))
 def lookup_pyramid_grouped4_nhwc(levels, coords: jax.Array, dims,
-                                 interpret: bool = False) -> jax.Array:
+                                 interpret: bool = False,
+                                 n_act: jax.Array | None = None
+                                 ) -> jax.Array:
     """Fused grouped 4-level lookup from pooled bf16 slabs.
 
     levels: 4 x (E, H1, W1, H2p_l, W2_l) bf16 (rows padded to 8);
     coords: (E, H1, W1, 2) level-0 [x, y]; dims: static real level dims.
+    ``n_act`` (traced int32 scalar, optional): number of ACTIVE edges --
+    active edges always occupy the slot prefix, so programs for slots
+    >= n_act skip compute and their DMAs collapse (scalar prefetch);
+    their output rows are garbage, masked downstream by edge validity.
     Returns (E, H1, W1, 196) f32, channels level-major then x-major.
     """
     interpret = _auto_interpret(interpret)
@@ -479,24 +505,60 @@ def lookup_pyramid_grouped4_nhwc(levels, coords: jax.Array, dims,
         R -= 1
 
     grid = (E, H1 // R)
-    vol_specs = [
-        pl.BlockSpec((1, R, W1, v.shape[-2], v.shape[-1]),
-                     lambda e, y: (e, y, 0, 0, 0),
-                     memory_space=pltpu.VMEM)
-        for v in levels
-    ]
-    out = pl.pallas_call(
-        _make_grouped4_kernel(tuple(dims)),
-        grid=grid,
-        in_specs=[pl.BlockSpec((1, R, W1, 2), lambda e, y: (e, y, 0, 0),
-                               memory_space=pltpu.VMEM)] + vol_specs,
-        out_specs=pl.BlockSpec((1, R, W1, 4, _NSUP, _NSUP),
-                               lambda e, y: (e, y, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((E, H1, W1, 4, _NSUP, _NSUP),
-                                       jnp.float32),
-        interpret=interpret,
-    )(coords.astype(jnp.float32), *levels)
+    if n_act is None:
+        vol_specs = [
+            pl.BlockSpec((1, R, W1, v.shape[-2], v.shape[-1]),
+                         lambda e, y: (e, y, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for v in levels
+        ]
+        out = pl.pallas_call(
+            _make_grouped4_kernel(tuple(dims)),
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, R, W1, 2),
+                                   lambda e, y: (e, y, 0, 0),
+                                   memory_space=pltpu.VMEM)] + vol_specs,
+            out_specs=pl.BlockSpec((1, R, W1, 4, _NSUP, _NSUP),
+                                   lambda e, y: (e, y, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((E, H1, W1, 4, _NSUP, _NSUP),
+                                           jnp.float32),
+            interpret=interpret,
+        )(coords.astype(jnp.float32), *levels)
+    else:
+        # active-edge-gated variant: grid is (y, edge) -- edge INNER --
+        # and padded slots clamp their input blocks to the last active
+        # edge, so consecutive repeats are elided by the DMA pipeline;
+        # gated programs skip all compute.  Output is bf16 (the GRU
+        # consumes bf16), halving the (E, H1, W1, 256) writeback.
+        def eclamp(y, e, n):
+            return (jnp.minimum(e, jnp.maximum(n[0] - 1, 0)), y, 0, 0, 0)
+
+        vol_specs = [
+            pl.BlockSpec((1, R, W1, v.shape[-2], v.shape[-1]), eclamp,
+                         memory_space=pltpu.VMEM)
+            for v in levels
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(H1 // R, E),
+            in_specs=[pl.BlockSpec(
+                (1, R, W1, 2),
+                lambda y, e, n: (jnp.minimum(e, jnp.maximum(n[0] - 1, 0)),
+                                 y, 0, 0),
+                memory_space=pltpu.VMEM)] + vol_specs,
+            out_specs=pl.BlockSpec((1, R, W1, 4, _NSUP, _NSUP),
+                                   lambda y, e, n: (e, y, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            _make_grouped4_kernel(tuple(dims), gated=True),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((E, H1, W1, 4, _NSUP, _NSUP),
+                                           jnp.bfloat16),
+            interpret=interpret,
+        )(jnp.asarray(n_act, jnp.int32).reshape(1),
+          coords.astype(jnp.float32), *levels)
     out = out[..., : _RD, : _RD].reshape(E, H1, W1, 4 * _RD * _RD)
     return out
 

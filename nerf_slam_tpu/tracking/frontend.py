@@ -25,6 +25,7 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -170,6 +171,12 @@ class RaftVisualFrontend:
         self.is_initialized = False
         self.stop = False
         self.last_kf_dist = float("inf")   # device scalar after update()
+        # Host pacing: one tiny fetch per keyframe keeps the dispatch
+        # queue shallow.  Free-running dispatch on the remote-TPU client
+        # measured ~5x SLOWER per keyframe than fetch-paced dispatch
+        # (1482 vs 305 ms/kf, bench/profile_track3.py) -- deep queues
+        # degrade the client.  Opt out with NERF_SLAM_TPU_NO_PACE=1.
+        self._pace = not os.environ.get("NERF_SLAM_TPU_NO_PACE")
         self.kf_idx_to_f_idx: Dict[int, int] = {}
         self.f_idx_to_kf_idx: Dict[int, int] = {}
         self._host_intrinsics: Dict[int, np.ndarray] = {}
@@ -490,10 +497,14 @@ class RaftVisualFrontend:
         if cfg.corr_impl == "pallas4g":
             # grouped weighted-hot kernel over 4 pooled slabs: measured
             # ~5x the single-slab variant (MXU-shaped block-diagonal
-            # selects; bilinear folded into the one-hots)
+            # selects; bilinear folded into the one-hots).  Active edges
+            # occupy the slot prefix, so the kernel skips compute + DMA
+            # for padded slots (n_act gating) -- the lookup cost scales
+            # with the LIVE graph, not the static capacity.
             dims = corr_pallas.pyramid_dims(h, w)
+            n_act = jnp.sum(edge_on > 0).astype(jnp.int32)
             lookup_nhwc = lambda c: corr_pallas.lookup_pyramid_grouped4_nhwc(
-                edges.corr_levels, c, dims)
+                edges.corr_levels, c, dims, n_act=n_act)
         elif cfg.corr_impl == "pallas":
             # single-slab path: levels 1-3 are derived from level 0
             # inside the kernel (pooling commutes with sampling)
@@ -1243,6 +1254,11 @@ class RaftVisualFrontend:
         self.last_k = k
         self.last_kf_idx = self.kf_idx
         out = self.get_viz_out(batch)
+
+        if self._pace and isinstance(getattr(self, "last_flow_rms", None),
+                                     jax.Array):
+            # drain the dispatch queue once per keyframe (see __init__)
+            np.asarray(self.last_flow_rms)
 
         if self.kf_idx + 1 >= cfg.buffer or batch.get("is_last_frame"):
             # buffer-full ends the sequence for every downstream consumer

@@ -303,6 +303,31 @@ def test_lookup_grouped4_matches_pyramid_reference():
                                atol=5e-2, rtol=5e-2)
 
 
+def test_lookup_grouped4_gated_matches_ungated_prefix():
+    """n_act gating: active-prefix rows match the ungated kernel; padded
+    rows are don't-care (masked downstream by edge validity)."""
+    from nerf_slam_tpu.ops import corr_pallas
+    rng = np.random.RandomState(16)
+    E, C, H, W = 4, 16, 16, 16
+    n_act = 2
+    f1 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    f2 = jnp.asarray(rng.randn(E, C, H, W).astype(np.float32) * 0.3)
+    levels = corr.build_pyramid_bf16(f1, f2, 4, pad_rows_to=8)
+    coords = jnp.asarray(
+        (rng.rand(E, H, W, 2) * np.array([W + 2, H + 2]) - 1.5
+         ).astype(np.float32))
+    dims = corr_pallas.pyramid_dims(H, W)
+    full = corr_pallas.lookup_pyramid_grouped4_nhwc(
+        tuple(levels), coords, dims, interpret=True)
+    gated = corr_pallas.lookup_pyramid_grouped4_nhwc(
+        tuple(levels), coords, dims, interpret=True,
+        n_act=jnp.int32(n_act))
+    # the gated variant emits bf16 (the GRU consumes bf16)
+    np.testing.assert_allclose(np.asarray(gated[:n_act], np.float32),
+                               np.asarray(full[:n_act]),
+                               atol=2e-2, rtol=2e-2)
+
+
 def test_lookup_grouped4_fallback_small():
     """Odd widths take the per-pixel fallback and still match."""
     from nerf_slam_tpu.ops import corr_pallas
