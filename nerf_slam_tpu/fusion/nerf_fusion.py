@@ -292,6 +292,49 @@ class NerfFusion:
     def _train_step(self, params, deltas, opt_state, pose_opt_state,
                     train_set: TrainSet, key, pose_enable,
                     field_enable):
+        return self._step_body(params, deltas, opt_state, pose_opt_state,
+                               train_set, key, pose_enable, field_enable)
+
+    @partial(jax.jit, static_argnums=(0, 7), donate_argnums=(1, 2, 3, 4))
+    def _train_scan(self, params, deltas, opt_state, pose_opt_state,
+                    train_set: TrainSet, key, n, it0):
+        """``n`` (static) train steps fused into one lax.scan program:
+        one device dispatch per pipeline spin instead of one per
+        iteration (the per-dispatch overhead of the remote-TPU transport
+        otherwise costs as much as the step's compute).  The
+        coordinate-descent pose/field schedule is reproduced per step
+        from the absolute iteration counter ``it0 + i``."""
+        cfg = self.cfg
+
+        def phase(it):
+            if not cfg.optimize_extrinsics:
+                return jnp.float32(0.0)
+            started = it >= cfg.extrinsics_start
+            cyc = jnp.maximum(it - cfg.extrinsics_start, 0) \
+                % cfg.extrinsics_period
+            pose_only = cyc >= (cfg.extrinsics_period
+                                - cfg.extrinsics_pose_iters)
+            return (started & pose_only).astype(jnp.float32)
+
+        def step(carry, i):
+            params, deltas, opt_state, pose_opt_state, key = carry
+            key, sub = jax.random.split(key)
+            p = phase(it0 + i)
+            (params, deltas, opt_state, pose_opt_state, loss, l_rgb,
+             l_d) = self._step_body(params, deltas, opt_state,
+                                    pose_opt_state, train_set, sub,
+                                    p, 1.0 - p)
+            return (params, deltas, opt_state, pose_opt_state, key), loss
+
+        carry, losses = jax.lax.scan(
+            step, (params, deltas, opt_state, pose_opt_state, key),
+            jnp.arange(n, dtype=jnp.int32))
+        params, deltas, opt_state, pose_opt_state, key = carry
+        return params, deltas, opt_state, pose_opt_state, key, losses[-1]
+
+    def _step_body(self, params, deltas, opt_state, pose_opt_state,
+                   train_set: TrainSet, key, pose_enable,
+                   field_enable):
         cfg = self.cfg
         R = cfg.batch_rays
         kimg, kuv, ksamp = jax.random.split(key, 3)
@@ -381,22 +424,18 @@ class NerfFusion:
             return 0.0
         every = self.cfg.eval_every
         loss = 0.0
-        cfg = self.cfg
-        for _ in range(iters):
-            self.key, sub = jax.random.split(self.key)
-            started = (cfg.optimize_extrinsics
-                       and self.iteration >= cfg.extrinsics_start)
-            pose_phase = (started and (self.iteration - cfg.extrinsics_start)
-                          % cfg.extrinsics_period
-                          >= cfg.extrinsics_period
-                          - cfg.extrinsics_pose_iters)
+        remaining = int(iters)
+        while remaining > 0:
+            n = remaining
+            if every > 0:
+                n = min(n, every - self.iteration % every)
             (self.params, self.pose_deltas, self.opt_state,
-             self.pose_opt_state, loss, _, _) = self._train_step(
+             self.pose_opt_state, self.key, loss) = self._train_scan(
                 self.params, self.pose_deltas, self.opt_state,
-                self.pose_opt_state, self.train_set, sub,
-                jnp.float32(pose_phase),
-                jnp.float32(not pose_phase))
-            self.iteration += 1
+                self.pose_opt_state, self.train_set, self.key, n,
+                jnp.int32(self.iteration))
+            self.iteration += n
+            remaining -= n
             if every > 0 and self.iteration % every == 0:
                 self.evaluate_training_views(
                     max_views=self.cfg.eval_views)
