@@ -107,16 +107,18 @@ def main():
         from nerf_slam_tpu.solver import dba
         L = pa["pair_a"].shape[0]
         packed = dba.pack_plan(pa, Ea + Ei, cfg.p_window, cfg.k_depth, L)
+        prefix = np.zeros(fe._prefix_len(), np.int32)
         return jnp.asarray(np.concatenate(
-            [packed, np.array([n_iters], np.int32)]))
+            [prefix, packed,
+             np.array([n_iters, -1, 0, 1, -1, 0, 0, -1], np.int32)]))
 
     import jax.tree_util as jtu
 
     def run_update(n_iters):
         pk = mk_packed(n_iters)
-        s, e, rms = fe._update_n(fe.params, fe.state, fe.edges,
-                                 fe.inactive, pk)
-        fe.state, fe.edges = s, e
+        s, e, ia, rms, _, _, _ = fe._update_n(fe.params, fe.state,
+                                              fe.edges, fe.inactive, pk)
+        fe.state, fe.edges, fe.inactive = s, e, ia
         return rms
 
     res["update_n(1)"] = timeit(lambda: run_update(1), n=3)

@@ -53,9 +53,9 @@ def build(params):
                          motion_filter_thresh=-1.0,
                          keyframe_thresh=-1.0)
     fe = RaftVisualFrontend(params, cfg, (H, W))
-    for name in ("_encode", "_store_frame_jit", "_refresh_edges",
-                 "_update_n", "_gather_viz", "_distance",
-                 "_append_inactive"):
+    for name in ("_ingest", "_encode", "_store_frame_jit",
+                 "_refresh_edges", "_update_n", "_gather_viz",
+                 "_distance", "_append_inactive"):
         wrap(fe, name)
     return fe
 

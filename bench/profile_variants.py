@@ -60,14 +60,15 @@ def time_update(fe, n_iters, reps=6):
     pa = fe._slot_aligned_plan_np(ii_all, jj_all, valid_all, kf0, kf1)
     L = pa["pair_a"].shape[0]
     packed = dba.pack_plan(pa, Ea + Ei, cfg.p_window, cfg.k_depth, L)
+    prefix = np.zeros(fe._prefix_len(), np.int32)
     pk = jnp.asarray(np.concatenate(
-        [packed, np.array([n_iters, -1, 0, 1, -1, 0, 0, -1],
-                          np.int32)]))
+        [prefix, packed, np.array([n_iters, -1, 0, 1, -1, 0, 0, -1],
+                                  np.int32)]))
 
     def run():
-        s, e, rms, _, _ = fe._update_n(fe.params, fe.state, fe.edges,
-                                       fe.inactive, pk)
-        fe.state, fe.edges = s, e
+        s, e, ia, rms, _, _, _ = fe._update_n(
+            fe.params, fe.state, fe.edges, fe.inactive, pk)
+        fe.state, fe.edges, fe.inactive = s, e, ia
         return rms
 
     float(run())  # warm + sync

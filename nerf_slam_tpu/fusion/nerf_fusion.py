@@ -227,35 +227,15 @@ class NerfFusion:
         if self._t0 is None:
             self._t0 = time.time()
 
-    def fuse(self, packet: Optional[Dict[str, Any]]) -> bool:
-        """Consume one SLAM viz packet (process_slam equivalent).
-        Returns True when the packet signals end-of-sequence.
-
-        Runs entirely on device: the reference bounces packets through
-        the CPU ("cpu-transfer, which is super slow",
-        visual_frontend.py:1355-1360) -- here the padded device arrays
-        flow straight into the (device-resident) training set.  Padded
-        duplicate rows scatter the same data twice -- harmless.
-        """
-        if packet is None:
-            return False
-        if packet.get("is_last_frame") and "viz_idx" not in packet:
-            return True
-
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _fuse_jit(self, train_set: TrainSet, ids, poses7, images_u8,
+                  idepths_up, depths_cov_up, intr8, gt_depths=None):
+        """ONE dispatch per SLAM packet: pose inversion, uncertainty
+        masking, idepth->depth, sRGB->linear, resize-to-fusion-res and
+        the training-set scatter, fused (the un-jitted path costs ~10
+        separate device dispatches per packet)."""
         cfg = self.cfg
-        ids = np.asarray(packet["viz_idx"])
-        V = packet["cam0_poses"].shape[0]
-        if ids.shape[0] < V:   # re-pad ids to the padded array size
-            ids = np.concatenate(
-                [ids, np.full(V - ids.shape[0], ids[-1], ids.dtype)])
-
-        poses7 = jnp.asarray(packet["cam0_poses"])     # cam_T_world 7-vec
         c2w = se3.matrix(se3.inv(poses7))
-
-        images = packet["cam0_images"]                 # (V, H, W, 3) u8
-        idepths_up = jnp.asarray(packet["cam0_idepths_up"])
-        depths_cov_up = jnp.asarray(packet["cam0_depths_cov_up"])
-        gt_depths = packet.get("gt_depths")
 
         # uncertainty masking (reference :173-183)
         if cfg.mask_type == "ours":
@@ -274,10 +254,98 @@ class NerfFusion:
         depths = jnp.where(idepths_up > 1e-6,
                            1.0 / jnp.maximum(idepths_up, 1e-6), -1.0)
 
-        intr = jnp.asarray(packet["cam0_intrinsics"]) * 8.0  # full-res
-        self.update_training_images(ids, c2w, images, depths,
-                                    depths_cov_up, intr,
-                                    gt_depths=gt_depths)
+        img = images_u8.astype(jnp.float32) / 255.0
+        d = depths.astype(jnp.float32)
+        dc = depths_cov_up.astype(jnp.float32)
+        gtd = (gt_depths.astype(jnp.float32) if gt_depths is not None
+               else -jnp.ones_like(d))
+        intr = intr8.astype(jnp.float32)
+
+        in_h, in_w = img.shape[1:3]
+        if (in_h, in_w) != (cfg.height, cfg.width):
+            n = img.shape[0]
+            img = jax.image.resize(img, (n, cfg.height, cfg.width, 3),
+                                   "linear")
+            d = jax.image.resize(d, (n, cfg.height, cfg.width),
+                                 "nearest")
+            dc = jax.image.resize(dc, (n, cfg.height, cfg.width),
+                                  "nearest")
+            gtd = jax.image.resize(gtd, (n, cfg.height, cfg.width),
+                                   "nearest")
+            sx = cfg.width / in_w
+            sy = cfg.height / in_h
+            intr = intr * jnp.asarray([sx, sy, sx, sy], jnp.float32)
+
+        s = cfg.scale
+        off = jnp.asarray(cfg.offset, jnp.float32)
+        c2w_n = c2w.at[:, :3, 3].set(c2w[:, :3, 3] * s + off)
+        img = srgb_to_linear(img)
+        d_n = jnp.where(d > 0, d * s, -1.0)
+        gtd_n = jnp.where(gtd > 0, gtd * s, -1.0)
+        dc_n = dc * (s * s)
+
+        ts = train_set
+        new = TrainSet(
+            c2w=ts.c2w.at[ids].set(c2w_n),
+            images=ts.images.at[ids].set(img),
+            depths=ts.depths.at[ids].set(d_n),
+            depths_cov=ts.depths_cov.at[ids].set(dc_n),
+            gt_depths=ts.gt_depths.at[ids].set(gtd_n),
+            intrinsics=ts.intrinsics.at[ids].set(intr),
+            valid=ts.valid.at[ids].set(1.0))
+        return new
+
+    def fuse(self, packet: Optional[Dict[str, Any]]) -> bool:
+        """Consume one SLAM viz packet (process_slam equivalent).
+        Returns True when the packet signals end-of-sequence.
+
+        Runs entirely on device in ONE fused dispatch: the reference
+        bounces packets through the CPU ("cpu-transfer, which is super
+        slow", visual_frontend.py:1355-1360) -- here the padded device
+        arrays flow straight into the (device-resident) training set.
+        Padded duplicate rows scatter the same data twice -- harmless.
+        """
+        if packet is None:
+            return False
+        if packet.get("is_last_frame") and "viz_idx" not in packet:
+            return True
+
+        ids = np.asarray(packet["viz_idx"])
+        V = packet["cam0_poses"].shape[0]
+        if ids.shape[0] < V:   # re-pad ids to the padded array size
+            ids = np.concatenate(
+                [ids, np.full(V - ids.shape[0], ids[-1], ids.dtype)])
+
+        dev = self.device
+        arrs = [jnp.asarray(packet["cam0_poses"]),
+                jnp.asarray(packet["cam0_images"]),
+                jnp.asarray(packet["cam0_idepths_up"]),
+                jnp.asarray(packet["cam0_depths_cov_up"]),
+                jnp.asarray(packet["cam0_intrinsics"]) * 8.0]
+        gt = packet.get("gt_depths")
+        if gt is not None:
+            arrs.append(jnp.asarray(gt))
+        if dev is not None:
+            # cross-device ingest (dev0 SLAM packets -> mapping device):
+            # one explicit ICI transfer, never a CPU bounce (the
+            # reference's multi-GPU path bounces via the CPU,
+            # visual_frontend.py:1355-1360)
+            arrs = [jax.device_put(a, dev) for a in arrs]
+        gt = arrs.pop() if gt is not None else None
+        poses7, images, idepths_up, depths_cov_up, intr8 = arrs
+        ids_dev = jnp.asarray(ids, jnp.int32)
+        if dev is not None:
+            ids_dev = jax.device_put(ids_dev, dev)
+
+        self.train_set = self._fuse_jit(self.train_set, ids_dev, poses7,
+                                        images, idepths_up,
+                                        depths_cov_up, intr8, gt)
+        # fresh SLAM poses supersede any refined deltas for these views
+        if self.cfg.optimize_extrinsics:
+            self.pose_deltas = self.pose_deltas.at[ids_dev].set(0.0)
+        self.has_data = True
+        if self._t0 is None:
+            self._t0 = time.time()
         return bool(packet.get("is_last_frame", False))
 
     # ------------------------------------------------------------------

@@ -181,6 +181,12 @@ class RaftVisualFrontend:
         self.f_idx_to_kf_idx: Dict[int, int] = {}
         self._host_intrinsics: Dict[int, np.ndarray] = {}
         self._dist_prefetch = None
+        # lazy edge maintenance: topology changes and inactive-flow
+        # captures queue here and ride the next update dispatch
+        self._pending_gather: Optional[np.ndarray] = None
+        self._pending_app: list = []
+        self._pending_app_n_old = 0
+        self._viz_pending = None   # (fields, idx) from a fused gather
 
         self.graph = graphlib.CovisibilityGraph(max_factors=cfg.max_factors)
         self.world_T_cam0_t0 = (np.eye(4, dtype=np.float32)
@@ -301,6 +307,39 @@ class RaftVisualFrontend:
             state.contexts[last_kf], state.cst_contexts[last_kf])
         return f[0], c[0], ci[0], mag
 
+    @partial(jax.jit, static_argnums=(0, 7), donate_argnums=1)
+    def _ingest(self, state: KeyframeState, params, img_u8, gt_depth,
+                small, slot, with_motion: bool, img1_u8=None):
+        """ONE dispatch per incoming frame: normalize + feature/context
+        encode (+ motion-filter magnitude vs the last keyframe) + buffer
+        store.  Replaces the separate _encode/_encode_motion +
+        _store_frame_jit dispatches; ``gt_depth`` arrives f16 (halves
+        the dominant per-frame H2D upload).  The store is unconditional:
+        on a motion-filter reject the slot simply holds a candidate that
+        the next frame overwrites (nothing reads slot kf_idx until the
+        host accepts the frame)."""
+        image_norm = self._normalize_dev(img_u8)
+        f = self.net.apply(params, image_norm,
+                           method=DroidNet.features)[0]
+        c, ci = self.net.apply(params, image_norm,
+                               method=DroidNet.context)
+        c, ci = c[0], ci[0]
+        last_kf = small[22].astype(jnp.int32)
+        if with_motion:
+            mag = self._motion_mag_inline(
+                params, state.features[last_kf].astype(jnp.float32), f,
+                state.contexts[last_kf], state.cst_contexts[last_kf])
+        else:
+            mag = jnp.zeros((), jnp.float32)
+        f1 = None
+        if self.cfg.stereo and img1_u8 is not None:
+            f1 = self.net.apply(params, self._normalize_dev(img1_u8),
+                                method=DroidNet.features)[0]
+        state = self._store_frame_body(state, slot, img_u8,
+                                       gt_depth.astype(jnp.float32),
+                                       small, f, c, ci, f1)
+        return state, mag
+
     def _motion_mag_inline(self, params, feat_last, feat_cur, ctx, cst):
         f1 = feat_last.transpose(2, 0, 1)[None].astype(jnp.bfloat16)
         f2 = feat_cur.transpose(2, 0, 1)[None].astype(jnp.bfloat16)
@@ -330,17 +369,24 @@ class RaftVisualFrontend:
     @partial(jax.jit, static_argnums=0, donate_argnums=3)
     def _refresh_edges(self, params, state: KeyframeState,
                        edges: EdgeState, packed):
-        """Fused edge-state maintenance: compact surviving slots
-        (gather_idx), initialize new slots (hidden from contexts, flow
-        from reprojection, weight 0 -- visual_frontend.py:846-862), and
-        rebuild the correlation pyramid for the active set.  One jit, one
-        static shape, one packed upload, regardless of how many edges
-        changed."""
+        """Standalone edge-state sync dispatch (rm_keyframe and the
+        sharded path; the hot loop instead folds the sync into
+        :meth:`_update_n` via :meth:`_maintenance`)."""
         Ea = self.cfg.e_active
         gather_idx = packed[:Ea]
         new_mask = packed[Ea:2 * Ea].astype(jnp.float32)
         ii_pad = packed[2 * Ea:3 * Ea]
         jj_pad = packed[3 * Ea:4 * Ea]
+        return self._refresh_edges_body(state, edges, gather_idx,
+                                        new_mask, ii_pad, jj_pad)
+
+    def _refresh_edges_body(self, state: KeyframeState, edges: EdgeState,
+                            gather_idx, new_mask, ii_pad, jj_pad):
+        """Fused edge-state maintenance: compact surviving slots
+        (gather_idx), initialize new slots (hidden from contexts, flow
+        from reprojection, weight 0 -- visual_frontend.py:846-862), and
+        rebuild the correlation pyramid for the active set.  One static
+        shape regardless of how many edges changed."""
         hidden = edges.hidden[gather_idx]
         flow = edges.flow[gather_idx]
         flow_w = edges.flow_weight[gather_idx]
@@ -370,6 +416,13 @@ class RaftVisualFrontend:
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _append_inactive(self, inactive: InactiveState, flow_src,
                          w_src, idx_pad, n_old, n_new):
+        """Standalone inactive-append dispatch (non-hot paths; the hot
+        loop folds the append into :meth:`_update_n`)."""
+        return self._append_inactive_body(inactive, flow_src, w_src,
+                                          idx_pad, n_old, n_new)
+
+    def _append_inactive_body(self, inactive: InactiveState, flow_src,
+                              w_src, idx_pad, n_old, n_new):
         """Append n_new rows (gathered from flow_src at idx_pad[:n_new])
         to the inactive ring, shifting out the oldest on overflow.
         All shapes static; n_old/n_new are traced scalars."""
@@ -388,6 +441,12 @@ class RaftVisualFrontend:
 
     @partial(jax.jit, static_argnums=0)
     def _gather_viz(self, state: KeyframeState, sel):
+        """Standalone viz gather (first frame, terminate packets and
+        selections wider than V_VIZ; steady-state keyframes get the
+        gather fused into :meth:`_update_n`)."""
+        return self._gather_viz_body(state, sel)
+
+    def _gather_viz_body(self, state: KeyframeState, sel):
         """Fixed-size viz gather (padded selection indices)."""
         return (state.cam_T_world[sel], state.gt_poses[sel],
                 state.gt_depths[sel], se3.inv(state.cam_T_world[sel]),
@@ -398,12 +457,23 @@ class RaftVisualFrontend:
                 state.intrinsics[sel])
 
     # the hot fused step ------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 6), donate_argnums=(2, 3))
+    @partial(jax.jit, static_argnums=(0, 6), donate_argnums=(2, 3, 4))
     def _update_n(self, params, state: KeyframeState, edges: EdgeState,
                   inactive: InactiveState, packed_plan,
                   light: bool = False):
         """Dispatch the fused update: single-device, or shard_map'd over
-        the edge axis of a device mesh (cfg.edge_shards > 1)."""
+        the edge axis of a device mesh (cfg.edge_shards > 1).
+
+        Single-device, the ONE program additionally carries (gated by
+        scalars in ``packed_plan``, each a lax.cond so skipped work costs
+        nothing at runtime):
+          - the pending inactive-flow append (pre-compaction edge slots),
+          - the pending edge-state sync (compaction + new-edge init +
+            correlation-pyramid rebuild),
+          - the viz-packet gather of the final state.
+        The reference pays a CUDA launch + host round-trip for each of
+        these per keyframe; here one dispatch covers the whole keyframe.
+        """
         if self.mesh is None:
             return self._update_core(params, state, edges, inactive,
                                      packed_plan, light, None)
@@ -415,9 +485,51 @@ class RaftVisualFrontend:
                 pa, st, ed, ia, pp, light, "edge"),
             mesh=self.mesh,
             in_specs=(P(), P(), P("edge"), P("edge"), P()),
-            out_specs=(P(), P("edge"), P(), P(), P()),
+            out_specs=(P(), P("edge"), P("edge"), P(), P(), P(), P()),
             check_rep=False)
         return fn(params, state, edges, inactive, packed_plan)
+
+    # packed-plan prefix layout for the fused maintenance work; the tail
+    # (DBA plan + 8 scalars) is unchanged.  V_VIZ is the fused viz-gather
+    # capacity (larger selections fall back to the standalone gather).
+    V_VIZ = 16
+
+    def _prefix_len(self) -> int:
+        cfg = self.cfg
+        return 1 + 4 * cfg.e_active + 1 + cfg.e_inactive + 2 + \
+            self.V_VIZ + 1
+
+    def _maintenance(self, state, edges: EdgeState,
+                     inactive: InactiveState, prefix):
+        """Apply the packed pending maintenance (inactive append + edge
+        sync) inside the update jit.  Returns (edges, inactive)."""
+        cfg = self.cfg
+        Ea, Ei = cfg.e_active, cfg.e_inactive
+        o = 0
+        sync_on = prefix[o]; o += 1
+        gather_idx = prefix[o:o + Ea]; o += Ea
+        new_mask = prefix[o:o + Ea].astype(jnp.float32); o += Ea
+        ii_pad = prefix[o:o + Ea]; o += Ea
+        jj_pad = prefix[o:o + Ea]; o += Ea
+        app_on = prefix[o]; o += 1
+        app_idx = prefix[o:o + Ei]; o += Ei
+        app_n_old = prefix[o]; o += 1
+        app_n_new = prefix[o]; o += 1
+
+        def do_append(ia):
+            return self._append_inactive_body(
+                ia, edges.flow, edges.flow_weight, app_idx, app_n_old,
+                app_n_new)
+
+        inactive = jax.lax.cond(app_on > 0, do_append, lambda ia: ia,
+                                inactive)
+
+        def do_sync(ed):
+            return self._refresh_edges_body(state, ed, gather_idx,
+                                            new_mask, ii_pad, jj_pad)
+
+        edges = jax.lax.cond(sync_on > 0, do_sync, lambda ed: ed, edges)
+        return edges, inactive
 
     def _update_core(self, params, state: KeyframeState,
                      edges: EdgeState, inactive: InactiveState,
@@ -451,6 +563,12 @@ class RaftVisualFrontend:
         cfg = self.cfg
         h, w = self.h, self.w
         Ea = cfg.e_active
+        PRE = self._prefix_len()
+        prefix = packed_plan[:PRE]
+        viz_sel = prefix[PRE - 1 - self.V_VIZ:PRE - 1]
+        if axis is None:
+            edges, inactive = self._maintenance(state, edges, inactive,
+                                                prefix)
         n_iters = packed_plan[-8]
         seed_slot = packed_plan[-7]       # sensed-depth seed slot (-1: off)
         d_a = packed_plan[-6]             # keyframe-distance pair, computed
@@ -459,7 +577,7 @@ class RaftVisualFrontend:
         t_g = packed_plan[-3]             # prox-prefetch grid scalars
         kf0_g = packed_plan[-2]
         kf1_g = packed_plan[-1]           # -1: prefetch off
-        plan = dba.unpack_plan(packed_plan[:-8], Ea + cfg.e_inactive,
+        plan = dba.unpack_plan(packed_plan[PRE:-8], Ea + cfg.e_inactive,
                                cfg.p_window, cfg.k_depth)
         if axis is not None:
             # edge-sharded execution (shard_map): localize the plan's
@@ -608,8 +726,9 @@ class RaftVisualFrontend:
                                    flow_weight=flow_w,
                                    corr_levels=edges.corr_levels)
             zero = jnp.zeros((), disps.dtype)
-            return state, edges, zero, kf_dist, jnp.full(
-                (_PF_SI * _PF_SJ,), 1e6, disps.dtype)
+            return (state, edges, inactive, zero, kf_dist,
+                    jnp.full((_PF_SI * _PF_SJ,), 1e6, disps.dtype),
+                    self._gather_viz_body(state, viz_sel[:0]))
 
         # final linearization: covariances + diagnostics
         targets = jnp.concatenate([flow, inactive.flow], axis=0)
@@ -711,7 +830,10 @@ class RaftVisualFrontend:
         edges = edges._replace(hidden=hidden, flow=flow,
                                flow_weight=flow_w,
                                corr_levels=edges.corr_levels)
-        return st2, edges, flow_rms, kf_dist, prox_d
+        # fused viz-packet gather of the FINAL state (before next-kf
+        # seeding would not matter -- seeding writes future slots only)
+        viz = self._gather_viz_body(st2, viz_sel)
+        return st2, edges, inactive, flow_rms, kf_dist, prox_d, viz
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -731,8 +853,14 @@ class RaftVisualFrontend:
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _store_frame_jit(self, state: KeyframeState, slot, img_u8,
                          gt_depth, small, f, c, ci, f1=None):
+        return self._store_frame_body(state, slot, img_u8, gt_depth,
+                                      small, f, c, ci, f1)
+
+    def _store_frame_body(self, state: KeyframeState, slot, img_u8,
+                          gt_depth, small, f, c, ci, f1=None):
         """One fused buffer write.  small: packed floats
-        [t_cam, intr(4)/dsf, gt_pose(16 row-major), has_depth]."""
+        [t_cam, intr(4)/dsf, gt_pose(16 row-major), has_depth,
+        last_kf]."""
         t_cam = small[0]
         intr = small[1:5]
         gt_pose = small[5:21].reshape(4, 4)
@@ -760,19 +888,40 @@ class RaftVisualFrontend:
         return self.net.apply(params, image_norm,
                               method=DroidNet.features)[0]
 
-    def _store_frame(self, k: int, slot: int, batch: Dict[str, Any],
-                     encoded=None, img_dev=None):
-        """Write an incoming frame into keyframe buffers (3 uploads:
-        image, gt depth, one packed small-field vector)."""
-        if img_dev is None:
-            img_dev = jnp.asarray(
-                np.ascontiguousarray(np.asarray(batch["images"])[..., :3]),
-                jnp.uint8)
-        if encoded is None:
-            encoded = self._encode(self.params,
-                                   self._normalize_dev(img_dev))
-        f, c, ci = encoded
-        f1 = None
+    def _pack_small(self, k: int, batch: Dict[str, Any]) -> np.ndarray:
+        """Packed per-frame scalars: [t_cam, intr(4)/dsf, gt_pose(16),
+        has_depth, last_kf]."""
+        small = np.zeros(23, np.float32)
+        small[0] = (float(batch["t_cams"])
+                    if batch.get("t_cams") is not None else float(k))
+        small[1:5] = np.asarray(batch["intrinsics"],
+                                np.float32) / self.cfg.dsf
+        if batch.get("poses") is not None:
+            small[5:21] = np.asarray(batch["poses"],
+                                     np.float32).reshape(-1)
+        else:
+            small[5:21] = np.eye(4, dtype=np.float32).reshape(-1)
+        small[21] = 1.0 if batch.get("depths") is not None else 0.0
+        small[22] = float(self.last_kf_idx)
+        return small
+
+    def _frame_uploads(self, batch: Dict[str, Any]):
+        """Per-frame H2D transfers: uint8 image + f16 GT depth (halving
+        the depth upload -- at ~20 MB/s tunnel upstream these transfers
+        are a first-order per-frame cost) + optional right image."""
+        img_dev = jnp.asarray(
+            np.ascontiguousarray(np.asarray(batch["images"])[..., :3]),
+            jnp.uint8)
+        if batch.get("depths") is not None:
+            gt16 = jnp.asarray(
+                np.asarray(batch["depths"], np.float16), jnp.float16)
+        else:
+            z = getattr(self, "_zero_depth16", None)
+            if z is None:
+                z = jnp.zeros((self.H, self.W), jnp.float16)
+                self._zero_depth16 = z       # uploaded once, reused
+            gt16 = z
+        img1 = None
         if self.cfg.stereo:
             right = batch.get("images_right")
             assert right is not None, \
@@ -780,14 +929,10 @@ class RaftVisualFrontend:
             img1 = jnp.asarray(
                 np.ascontiguousarray(np.asarray(right)[..., :3]),
                 jnp.uint8)
-            f1 = self._encode_feat(self.params,
-                                   self._normalize_dev(img1))
+        return img_dev, gt16, img1
 
-        small = np.zeros(22, np.float32)
-        small[0] = (float(batch["t_cams"])
-                    if batch.get("t_cams") is not None else float(k))
-        small[1:5] = np.asarray(batch["intrinsics"],
-                                np.float32) / self.cfg.dsf
+    def _host_frame_bookkeeping(self, slot: int, small: np.ndarray,
+                                batch: Dict[str, Any]):
         # the proximity prefetch seeded this slot with the intrinsics of
         # the keyframe it was issued from (last_kf_idx); if the incoming
         # frame's intrinsics differ, the prefetched distance grid is
@@ -797,25 +942,24 @@ class RaftVisualFrontend:
                 and not np.allclose(seed, small[1:5])):
             self._dist_prefetch = None
         self._host_intrinsics[slot] = small[1:5].copy()
-        if batch.get("poses") is not None:
-            small[5:21] = np.asarray(batch["poses"],
-                                     np.float32).reshape(-1)
-        else:
-            small[5:21] = np.eye(4, dtype=np.float32).reshape(-1)
-        has_depth = batch.get("depths") is not None
-        small[21] = 1.0 if has_depth else 0.0
-        gt_depth = (jnp.asarray(batch["depths"], jnp.float32)
-                    if has_depth
-                    else jnp.zeros((self.H, self.W), jnp.float32))
-
-        self.state = self._store_frame_jit(
-            self.state, jnp.int32(slot), img_dev, gt_depth,
-            jnp.asarray(small), f, c, ci, f1)
         if batch.get("idepths_sensed") is not None:
             st = self.state
             self.state = st._replace(
                 idepths_sensed=st.idepths_sensed.at[slot].set(
                     jnp.asarray(batch["idepths_sensed"], jnp.float32)))
+
+    def _store_frame(self, k: int, slot: int, batch: Dict[str, Any],
+                     encoded=None, img_dev=None):
+        """Write an incoming frame into keyframe buffers: ONE fused
+        dispatch (normalize + encode + store) and two uploads."""
+        small = self._pack_small(k, batch)
+        img, gt16, img1 = self._frame_uploads(batch)
+        if img_dev is not None:
+            img = img_dev
+        self.state, _ = self._ingest(
+            self.state, self.params, img, gt16, jnp.asarray(small),
+            jnp.int32(slot), False, img1)
+        self._host_frame_bookkeeping(slot, small, batch)
 
     def has_enough_motion(self, feat_cur) -> bool:
         st = self.state
@@ -831,16 +975,26 @@ class RaftVisualFrontend:
         out[: arr.shape[0]] = arr
         return jnp.asarray(out)
 
-    def _begin_edge_txn(self):
-        """Start batching edge-topology changes: the device edge state is
-        refreshed once at _end_edge_txn instead of per change."""
-        assert getattr(self, "_txn_gather", None) is None
-        self._txn_gather = np.arange(self.graph.n_edges, dtype=np.int64)
-
-    def _end_edge_txn(self):
-        txn = self._txn_gather
-        self._txn_gather = None
-        self._apply_edge_sync(txn)
+    def _flush_pending(self):
+        """Dispatch any deferred edge maintenance NOW (standalone jits).
+        The hot loop instead folds the pending work into the next
+        :meth:`_update_n` dispatch; this explicit flush serves paths
+        that read or permute edge/inactive device state directly
+        (rm_keyframe, the sharded-mesh update, checkpointing)."""
+        if self._pending_app:
+            Ei = self.cfg.e_inactive
+            idx = np.concatenate(self._pending_app)[:Ei]
+            idx_pad = np.zeros(Ei, dtype=np.int32)
+            idx_pad[:len(idx)] = idx
+            self.inactive = self._append_inactive(
+                self.inactive, self.edges.flow, self.edges.flow_weight,
+                jnp.asarray(idx_pad), jnp.int32(self._pending_app_n_old),
+                jnp.int32(len(idx)))
+            self._pending_app = []
+        if self._pending_gather is not None:
+            pg = self._pending_gather
+            self._pending_gather = None
+            self._apply_edge_sync(pg)
 
     def _apply_edge_sync(self, slot_map: np.ndarray):
         """slot_map: for each current edge, its pre-change device slot
@@ -864,22 +1018,20 @@ class RaftVisualFrontend:
     def _sync_edges_after_change(self, keep: Optional[np.ndarray],
                                  new_ii: np.ndarray, new_jj: np.ndarray,
                                  n_before: int):
-        """Compact surviving per-edge state, append new edges, rebuild
-        correlation -- one fixed-shape jit call (or defer into an open
-        transaction)."""
+        """Record an edge-topology change.  The device sync is LAZY: the
+        change composes into ``_pending_gather`` (current host edge ->
+        pre-pending device slot, -1 = new) and is applied inside the next
+        update dispatch (or an explicit :meth:`_flush_pending`)."""
         n_new = new_ii.shape[0]
         n_keep = self.graph.n_edges - n_new
         if keep is None:
             keep = np.arange(n_keep)
-        if getattr(self, "_txn_gather", None) is not None:
-            self._txn_gather = np.concatenate(
-                [self._txn_gather[keep],
-                 -np.ones(n_new, dtype=np.int64)])
-            return
-        slot_map = np.concatenate(
-            [np.asarray(keep, np.int64),
+        base = (self._pending_gather if self._pending_gather is not None
+                else np.arange(n_before, dtype=np.int64))
+        assert base.shape[0] == n_before, (base.shape, n_before)
+        self._pending_gather = np.concatenate(
+            [base[np.asarray(keep, np.int64)],
              -np.ones(n_new, dtype=np.int64)])
-        self._apply_edge_sync(slot_map)
 
     def add_factors(self, ii, jj, remove: bool = False):
         """visual_frontend.py:806-862."""
@@ -931,23 +1083,25 @@ class RaftVisualFrontend:
                 n_before)
 
     def _store_inactive_flows(self, idx: np.ndarray):
-        """Append flows of edges `idx` to the inactive ring.  During an
-        edge transaction, indices refer to the current host layout and
-        are translated to device slots; flows of edges added within the
-        same transaction have no device state yet and are skipped (their
-        flow is the fresh reprojection either way)."""
+        """Queue flows of edges `idx` for the inactive ring.  Indices
+        refer to the current host layout and are translated through the
+        pending map to PRE-pending device slots (the device flows do not
+        change until the pending sync runs); edges added since the last
+        sync have no device state yet and are skipped (their flow is the
+        fresh reprojection either way).  The actual append runs inside
+        the next update dispatch (or _flush_pending), gathering from the
+        pre-sync edge flows -- exactly the capture-at-rm-time semantics
+        of the reference (visual_frontend.py:868-875)."""
         idx = np.asarray(idx, np.int64)
-        if getattr(self, "_txn_gather", None) is not None:
-            slots = self._txn_gather[idx]
+        if self._pending_gather is not None:
+            slots = self._pending_gather[idx]
             idx = slots[slots >= 0]
-        Ei = self.cfg.e_inactive
-        n_new = min(len(idx), Ei)
-        idx_pad = np.zeros(Ei, dtype=np.int32)
-        idx_pad[:n_new] = idx[:n_new]
-        n_old = min(self.graph.n_inactive, Ei)  # count before this append
-        self.inactive = self._append_inactive(
-            self.inactive, self.edges.flow, self.edges.flow_weight,
-            jnp.asarray(idx_pad), jnp.int32(n_old), jnp.int32(n_new))
+        if len(idx) == 0:
+            return
+        if not self._pending_app:
+            self._pending_app_n_old = min(self.graph.n_inactive,
+                                          self.cfg.e_inactive)
+        self._pending_app.append(idx)
 
     # the reference's update() ------------------------------------------
     def update(self, use_inactive: bool = True, n_iters: int = 1,
@@ -961,6 +1115,45 @@ class RaftVisualFrontend:
             return None
         kf0 = max(0, int(g.ii.min()))
         kf1 = max(int(g.ii.max()), int(g.jj.max())) + 1
+
+        if self.mesh is not None:
+            # sharded path: edge state is mesh-partitioned, so pending
+            # maintenance runs through the standalone (global) jits
+            self._flush_pending()
+
+        # fused-maintenance prefix: pending inactive append + edge sync
+        # + viz gather, all folded into the ONE update dispatch
+        Ea, Ei, V = cfg.e_active, cfg.e_inactive, self.V_VIZ
+        prefix = np.zeros(self._prefix_len(), np.int32)
+        o = 1 + 4 * Ea
+        if self._pending_gather is not None:
+            pg = self._pending_gather
+            n = g.n_edges
+            assert pg.shape[0] == n
+            prefix[0] = 1
+            prefix[1:1 + n] = np.maximum(pg, 0)
+            prefix[1 + Ea:1 + Ea + n] = (pg < 0)
+            prefix[1 + 2 * Ea:1 + 2 * Ea + n] = g.ii
+            prefix[1 + 3 * Ea:1 + 3 * Ea + n] = g.jj
+            self._pending_gather = None
+        if self._pending_app:
+            idx = np.concatenate(self._pending_app)[:Ei]
+            prefix[o] = 1
+            prefix[o + 1:o + 1 + len(idx)] = idx
+            prefix[o + 1 + Ei] = self._pending_app_n_old
+            prefix[o + 2 + Ei] = len(idx)
+            self._pending_app = []
+        o += 3 + Ei
+        viz_key = None
+        if not light:
+            self.viz_idx[kf0:self.kf_idx + 1] = True
+            idxs = np.nonzero(self.viz_idx)[0]
+            if self.mesh is None and 0 < idxs.size <= V:
+                viz_key = idxs
+                sel = np.full(V, idxs[-1], np.int32)
+                sel[:idxs.size] = idxs
+                prefix[o:o + V] = sel
+                prefix[o + V] = 1
 
         # merge inactive edges near the window (visual_frontend.py:420-424)
         # -- inactive slot i holds flows for g.{ii,jj}_inactive[i], so the
@@ -984,8 +1177,9 @@ class RaftVisualFrontend:
                                         kf0, kf1)
         L = pa["pair_a"].shape[0]
         packed = dba.pack_plan(pa, Ea + Ei, cfg.p_window, cfg.k_depth, L)
-        # ONE host->device upload for the whole topology + iteration count
-        # + sensed-seed slot + keyframe-distance pair + seeding/prefetch
+        # ONE host->device upload for the whole topology + maintenance
+        # prefix + iteration count + sensed-seed slot + keyframe-distance
+        # pair + seeding/prefetch scalars
         da, db = kf_dist_pair if kf_dist_pair is not None else (0, 0)
         t_g, kf0_g, kf1_g = 0, 0, -1
         if prefetch:
@@ -996,21 +1190,23 @@ class RaftVisualFrontend:
             if (t_g - kf0_g > _PF_SI or t_g - kf1_g > _PF_SJ
                     or kf0_g < 0):
                 t_g, kf0_g, kf1_g = 0, 0, -1   # grid too big: disable
-        packed = np.concatenate([packed,
+        packed = np.concatenate([prefix, packed,
                                  np.array([n_iters, seed_sensed_slot,
                                            da, db, seed_next, t_g,
                                            kf0_g, kf1_g], np.int32)])
 
-        state, edges, flow_rms, kf_dist, prox_d = self._update_n(
+        (state, edges, inactive, flow_rms, kf_dist, prox_d,
+         viz) = self._update_n(
             self.params, self.state, self.edges, self.inactive,
             jnp.asarray(packed), light)
         self.state = state
         self.edges = edges
+        self.inactive = inactive
+        if viz_key is not None:
+            self._viz_pending = (viz, viz_key)
         if kf1_g >= 0:
             self._dist_prefetch = ("grid", (t_g, kf0_g, kf1_g), prox_d)
         g.age += n_iters
-        if not light:
-            self.viz_idx[kf0:self.kf_idx + 1] = True
         self.last_flow_rms = flow_rms   # device scalar; sync only if read
         self.last_kf_dist = kf_dist     # device scalar
         return flow_rms
@@ -1171,6 +1367,11 @@ class RaftVisualFrontend:
 
     def rm_keyframe(self, kf_idx: int):
         """visual_frontend.py:529-574: roll buffers down over kf_idx."""
+        # deferred maintenance references pre-roll device layouts, and a
+        # fused viz gather references pre-roll keyframe slots: flush and
+        # invalidate before permuting anything
+        self._flush_pending()
+        self._viz_pending = None
         self._dist_prefetch = None       # state permutes: prefetch stale
         self._host_intrinsics = {
             (i if i < kf_idx else i - 1): v
@@ -1218,28 +1419,24 @@ class RaftVisualFrontend:
 
         assert self.kf_idx < cfg.buffer
 
-        img_dev = jnp.asarray(
-            np.ascontiguousarray(np.asarray(batch["images"])[..., :3]),
-            jnp.uint8)
-        if self.cfg.motion_filter_thresh >= 0:
-            f, c, ci, mag = self._encode_motion(
-                self.params, self.state, jnp.int32(self.last_kf_idx),
-                self._normalize_dev(img_dev))
-            encoded = (f, c, ci)
-            if not float(mag) > self.cfg.motion_filter_thresh:
-                if batch.get("is_last_frame"):
-                    self.kf_idx -= 1
-                    self.terminate()
-                    return self.get_viz_out(batch)
-                return None
-        else:
-            # a disabled filter admits every frame: skip the motion-GRU
-            # pass entirely (its corr volume + update would be discarded)
-            encoded = self._encode(self.params,
-                                   self._normalize_dev(img_dev))
+        # ONE fused dispatch: normalize + encode (+ motion magnitude) +
+        # store into slot kf_idx.  The store is unconditional; a motion
+        # reject simply leaves a candidate in the slot for the next
+        # frame to overwrite (nothing reads the slot until accepted).
+        with_motion = self.cfg.motion_filter_thresh >= 0
+        small = self._pack_small(k, batch)
+        img, gt16, img1 = self._frame_uploads(batch)
+        self.state, mag = self._ingest(
+            self.state, self.params, img, gt16, jnp.asarray(small),
+            jnp.int32(self.kf_idx), with_motion, img1)
+        if with_motion and not float(mag) > self.cfg.motion_filter_thresh:
+            if batch.get("is_last_frame"):
+                self.kf_idx -= 1
+                self.terminate()
+                return self.get_viz_out(batch)
+            return None
 
-        self._store_frame(k, self.kf_idx, batch, encoded=encoded,
-                          img_dev=img_dev)
+        self._host_frame_bookkeeping(self.kf_idx, small, batch)
         self.kf_idx_to_f_idx[self.kf_idx] = k
         self.f_idx_to_kf_idx[k] = self.kf_idx
 
@@ -1303,7 +1500,6 @@ class RaftVisualFrontend:
 
     def __update(self) -> bool:
         cfg = self.cfg
-        self._begin_edge_txn()
         if self.graph.n_edges:
             self.rm_factors(np.asarray(self.graph.age > cfg.max_age),
                             store=True)
@@ -1312,7 +1508,6 @@ class RaftVisualFrontend:
             kf1=max(self.kf_idx + 1 - cfg.frontend_window, 0),
             rad=cfg.frontend_radius, nms=cfg.frontend_nms,
             thresh=cfg.frontend_thresh, beta=cfg.beta, remove=True)
-        self._end_edge_txn()
 
         # next-kf seeding + proximity prefetch + sensed-depth seeding +
         # keyframe-rejection distance are all fused into the update jit
@@ -1413,6 +1608,7 @@ class RaftVisualFrontend:
         kf = self.kf_idx
         if kf < 2 or steps <= 0:
             return
+        self._flush_pending()   # graph is swapped below; settle edges
 
         st = self.state
         if float(jnp.max(st.idepths_sensed[:kf])) <= 0:
@@ -1513,12 +1709,20 @@ class RaftVisualFrontend:
             if batch.get("is_last_frame"):
                 return {"is_last_frame": True}
             return None
-        # pad the selection to a fixed size class (jit + transfer reuse)
-        V = 16 if idx.size <= 16 else self.cfg.buffer
-        sel = np.full(V, idx[-1], np.int32)
-        sel[: idx.size] = idx[:V]
-        idx = idx[:V]
-        fields = self._gather_viz(self.state, jnp.asarray(sel))
+        vp = self._viz_pending
+        if vp is not None and np.array_equal(vp[1], idx):
+            # gather already fused into the last update dispatch
+            fields = vp[0]
+            self._viz_pending = None
+        else:
+            # pad the selection to a fixed size class (jit + transfer
+            # reuse); serves the first frame, terminate packets, and
+            # selections wider than V_VIZ
+            V = 16 if idx.size <= 16 else self.cfg.buffer
+            sel = np.full(V, idx[-1], np.int32)
+            sel[: idx.size] = idx[:V]
+            idx = idx[:V]
+            fields = self._gather_viz(self.state, jnp.asarray(sel))
         names = ["cam0_poses", "gt_poses", "gt_depths", "world_T_body",
                  "world_T_body_cov", "cam0_idepths", "cam0_idepths_up",
                  "cam0_idepths_sensed", "cam0_idepths_cov",

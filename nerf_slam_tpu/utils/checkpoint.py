@@ -81,6 +81,8 @@ def unflatten_into(template, flat: Dict[str, np.ndarray], prefix=""):
 
 def save_frontend(path: str, frontend) -> None:
     """Snapshot a RaftVisualFrontend (tracking state)."""
+    if hasattr(frontend, "_flush_pending"):
+        frontend._flush_pending()   # settle lazy edge maintenance
     g = frontend.graph
     meta = {
         "kf_idx": frontend.kf_idx,
