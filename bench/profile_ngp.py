@@ -34,13 +34,17 @@ def main():
 
     # full train step (params/opt donated -> copy fresh per call to keep
     # the benchmark stateless; measures one step)
-    import copy
     p0, o0 = fus.params, fus.opt_state
+    d0, po0 = fus.pose_deltas, fus.pose_opt_state
+    one = jnp.float32(1.0)
 
     def step(key):
-        p, o, loss, _, _ = fus._train_step(
+        (p, d, o, po, loss, _, _) = fus._train_step(
             jax.tree.map(lambda x: x + 0, p0),
-            jax.tree.map(lambda x: x + 0, o0), fus.train_set, key)
+            d0 + 0,
+            jax.tree.map(lambda x: x + 0, o0),
+            jax.tree.map(lambda x: x + 0, po0),
+            fus.train_set, key, one, one)
         return loss
     timeit("train_step(4096x128)", step, lambda i: (keys[i],))
 

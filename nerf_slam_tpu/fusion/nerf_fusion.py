@@ -119,16 +119,25 @@ class NerfFusion:
         packets are device_put across ICI on ingest."""
         self.cfg = cfg
         self.device = device
-        key = jax.random.PRNGKey(seed)
-        self.params, self.field = init_ngp(key, cfg.ngp)
+        self._seed = seed
         lr = cfg.ngp.pe_lr if cfg.ngp.encoding == "pe" else cfg.ngp.lr
         self.opt = optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
+        self.pose_opt = optax.adam(cfg.extrinsics_lr)
+        self.reset()
+
+    def reset(self):
+        """Fresh field/optimizer/training-set state on the SAME instance
+        (jits here key on ``self``: a long-lived instance keeps its
+        compiled executables across sequences)."""
+        cfg = self.cfg
+        device = self.device
+        key = jax.random.PRNGKey(self._seed)
+        self.params, self.field = init_ngp(key, cfg.ngp)
         self.opt_state = self.opt.init(self.params)
         # per-view SE(3) pose deltas (right-perturbation of c2w)
         self.pose_deltas = jnp.zeros((cfg.buffer, 6), jnp.float32)
-        self.pose_opt = optax.adam(cfg.extrinsics_lr)
         self.pose_opt_state = self.pose_opt.init(self.pose_deltas)
-        self.key = jax.random.PRNGKey(seed + 1)
+        self.key = jax.random.PRNGKey(self._seed + 1)
         self.iteration = 0
 
         N, H, W = cfg.buffer, cfg.height, cfg.width

@@ -165,40 +165,15 @@ class RaftVisualFrontend:
         self.H, self.W = image_size
         self.h, self.w = self.H // cfg.dsf, self.W // cfg.dsf
 
-        self.kf_idx = 0
-        self.last_kf_idx = 0
-        self.last_k: Optional[int] = None
-        self.is_initialized = False
-        self.stop = False
-        self.last_kf_dist = float("inf")   # device scalar after update()
         # Host pacing: one tiny fetch per keyframe keeps the dispatch
         # queue shallow.  Free-running dispatch on the remote-TPU client
         # measured ~5x SLOWER per keyframe than fetch-paced dispatch
         # (1482 vs 305 ms/kf, bench/profile_track3.py) -- deep queues
         # degrade the client.  Opt out with NERF_SLAM_TPU_NO_PACE=1.
         self._pace = not os.environ.get("NERF_SLAM_TPU_NO_PACE")
-        self.kf_idx_to_f_idx: Dict[int, int] = {}
-        self.f_idx_to_kf_idx: Dict[int, int] = {}
-        self._host_intrinsics: Dict[int, np.ndarray] = {}
-        self._dist_prefetch = None
-        # lazy edge maintenance: topology changes and inactive-flow
-        # captures queue here and ride the next update dispatch
-        self._pending_gather: Optional[np.ndarray] = None
-        self._pending_app: list = []
-        self._pending_app_n_old = 0
-        self._viz_pending = None   # (fields, idx) from a fused gather
-
-        self.graph = graphlib.CovisibilityGraph(max_factors=cfg.max_factors)
         self.world_T_cam0_t0 = (np.eye(4, dtype=np.float32)
                                 if world_T_cam0_t0 is None
                                 else np.asarray(world_T_cam0_t0))
-
-        self.state = self._alloc_buffers()
-        self.edges = self._alloc_edges()
-        self.inactive = InactiveState(
-            flow=jnp.zeros((cfg.e_inactive, self.h, self.w, 2)),
-            flow_weight=jnp.zeros((cfg.e_inactive, self.h, self.w, 2)))
-        self.viz_idx = np.zeros(cfg.buffer, dtype=bool)
         # Schur interaction-list padding (shape-stable jits; compute_pairs
         # grows to the next power of two if a dense window exceeds it)
         self._pair_pad = max(
@@ -206,6 +181,7 @@ class RaftVisualFrontend:
                 8 * (cfg.e_active + cfg.e_inactive)))))
 
         self._jit_cache: Dict[Any, Any] = {}
+        self.reset()
 
         self.mesh = None
         if cfg.edge_shards > 1:
@@ -216,6 +192,38 @@ class RaftVisualFrontend:
             assert len(devs) >= n, \
                 f"edge_shards={n} but only {len(devs)} devices"
             self.mesh = jax.sharding.Mesh(np.array(devs[:n]), ("edge",))
+
+    def reset(self):
+        """Fresh tracking state on the SAME instance: device buffers and
+        host bookkeeping reinitialize, jit caches survive (every jit here
+        keys on ``self``, so a new instance re-traces everything -- a
+        long-lived instance processing many sequences is the deployment
+        shape, and the bench's timed pass relies on it)."""
+        cfg = self.cfg
+        self.kf_idx = 0
+        self.last_kf_idx = 0
+        self.last_k: Optional[int] = None
+        self.is_initialized = False
+        self.stop = False
+        self.last_kf_dist = float("inf")   # device scalar after update()
+        self.kf_idx_to_f_idx: Dict[int, int] = {}
+        self.f_idx_to_kf_idx: Dict[int, int] = {}
+        self._host_intrinsics: Dict[int, np.ndarray] = {}
+        self._dist_prefetch = None
+        # lazy edge maintenance: topology changes and inactive-flow
+        # captures queue here and ride the next update dispatch
+        self._pending_gather: Optional[np.ndarray] = None
+        self._pending_app: list = []
+        self._pending_app_n_old = 0
+        self._viz_pending = None   # (fields, idx) from a fused gather
+        self.graph = graphlib.CovisibilityGraph(
+            max_factors=cfg.max_factors)
+        self.state = self._alloc_buffers()
+        self.edges = self._alloc_edges()
+        self.inactive = InactiveState(
+            flow=jnp.zeros((cfg.e_inactive, self.h, self.w, 2)),
+            flow_weight=jnp.zeros((cfg.e_inactive, self.h, self.w, 2)))
+        self.viz_idx = np.zeros(cfg.buffer, dtype=bool)
 
     # ------------------------------------------------------------------
     # allocation
