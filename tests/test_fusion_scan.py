@@ -41,7 +41,8 @@ def _fit_fusion(n_views=6, iters=100):
     fus.update_training_images(
         np.arange(n_views), jnp.asarray(np.stack(c2w)), np.stack(imgs),
         jnp.asarray(np.stack(depths)), jnp.asarray(np.stack(covs)),
-        jnp.asarray(np.stack(intr)))
+        jnp.asarray(np.stack(intr)),
+        gt_depths=jnp.asarray(np.stack(depths)))
     loss = None
     for _ in range(iters // cfg.iters_per_spin):
         loss = fus.fit_volume()
