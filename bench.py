@@ -189,6 +189,69 @@ def utilization_estimate(update_spec, update_ms, ngp_spec, ngp10_ms):
     return out
 
 
+def production_phase(frames, frontend, fusion, weights_path):
+    """Production-policy phase: trained weights + motion filter +
+    keyframe rejection ENABLED (VERDICT r2 #3: the bench must measure
+    the real configuration, with quality riding along).
+
+    Reuses the SAME frontend/fusion instances so phase-0's compiled
+    executables are reused: params is a traced jit argument (same pytree
+    shapes, no recompile) and both thresholds are host-side floats.
+    Only the rejection branches (rm_keyframe roll, light-update reject)
+    compile anew, in this phase's own warm-up pass.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from nerf_slam_tpu.pipeline.runner import run_parallel, run_sequential
+    from nerf_slam_tpu.utils.checkpoint import load_arrays, unflatten_into
+    from nerf_slam_tpu.utils.evaluation import (ate_rmse,
+                                                trajectory_from_packet)
+
+    flat, _ = load_arrays(weights_path)
+    frontend.params = unflatten_into(frontend.params, flat)
+    frontend.cfg = dataclasses.replace(
+        frontend.cfg, motion_filter_thresh=2.4, keyframe_thresh=4.0)
+
+    class Cached:
+        def __len__(self):
+            return len(frames)
+
+        def __getitem__(self, k):
+            return frames[k]
+
+    # warm-up (compiles the rejection-path programs), then timed pass
+    frontend.reset()
+    fusion.reset()
+    modules, *_ = build_modules(Cached(), frontend, fusion)
+    run_sequential(modules)
+
+    frontend.reset()
+    fusion.reset()
+    modules, slam_m, fusion_m = build_modules(Cached(), frontend, fusion)
+    sink = modules[-1]
+    t0 = time.time()
+    run_parallel(modules, timeout_s=1800.0)
+    wall = time.time() - t0
+
+    n_kf = frontend.kf_idx + 1
+    out = {
+        "kf_per_s": round(n_kf / wall, 3),
+        "n_keyframes": int(n_kf),
+        "frames_in": len(frames),
+        "wall_s": round(wall, 2),
+        "ngp_iters": int(fusion.iteration),
+        "slam_mean_ms": round(slam_m.stats()["mean_ms"], 1),
+        "fusion_mean_ms": round(fusion_m.stats()["mean_ms"], 1),
+    }
+    if sink.last_full is not None:
+        est, gt = trajectory_from_packet(sink.last_full)
+        if est.shape[0] >= 3 and np.isfinite(gt).all():
+            out["ate_rmse_m"] = round(ate_rmse(est, gt), 4)
+    return out
+
+
 def main():
     from nerf_slam_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
@@ -243,6 +306,13 @@ def main():
 
     # phase 2: per-stage breakdown (instrumented, synced -- not headline)
     detail.update(breakdown_pass(frames, frontend, fusion))
+
+    # phase 3: production policy (trained weights, filters ON, ATE)
+    wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "weights_synthetic.npz")
+    if os.path.exists(wpath):
+        detail["production"] = production_phase(frames, frontend, fusion,
+                                                wpath)
 
     out = {
         "metric": "synthetic-room 336x640 tracking+mapping keyframes/sec"

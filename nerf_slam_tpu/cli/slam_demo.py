@@ -40,6 +40,11 @@ def parse_args(argv=None):
     p.add_argument("--eval", action="store_true")
     p.add_argument("--gui", action="store_true",
                    help="headless render dumps instead of a window")
+    p.add_argument("--viewer_port", type=int, default=0,
+                   help="with --gui: serve a live HTTP viewer on this "
+                        "port (latest keyframe/depth/sigma/render "
+                        "JPEGs, trajectory, point cloud, and M/N/A/S/T "
+                        "command back-channel)")
     p.add_argument("--device_split", action="store_true",
                    help="pin mapping to a second TPU device (the "
                         "reference's two-GPU tracking||mapping split, "
@@ -53,6 +58,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--global_ba", action="store_true",
                    help="run global bundle adjustment at termination")
+    p.add_argument("--edge_shards", type=int, default=1,
+                   help="shard the fused GRU+DBA update over this many "
+                        "devices (edge-axis shard_map; e_active and "
+                        "e_inactive must divide it)")
     p.add_argument("--profile", action="store_true",
                    help="write a JAX profiler trace around the run")
     return p.parse_args(argv)
@@ -107,7 +116,9 @@ def build_frontend(args, image_size):
                          p_window=min(args.buffer, 32),
                          k_depth=min(args.buffer + 8, 40),
                          global_ba=getattr(args, "global_ba", False),
-                         stereo=stereo, **kw)
+                         stereo=stereo,
+                         edge_shards=getattr(args, "edge_shards", 1),
+                         **kw)
     return RaftVisualFrontend(params, cfg, image_size)
 
 
@@ -182,7 +193,13 @@ def run(args) -> dict:
         modules.insert(2, fusion_m)
     if args.gui:
         from ..gui.headless import HeadlessGui
-        gui_m = GuiModule(HeadlessGui(out_dir=args.viz_out))
+        gui = HeadlessGui(out_dir=args.viz_out)
+        if getattr(args, "viewer_port", 0):
+            from ..gui.viewer import LiveViewer
+            gui = LiveViewer(gui, port=args.viewer_port)
+            print(f"live viewer at http://localhost:{gui.port}/",
+                  flush=True)
+        gui_m = GuiModule(gui)
         connect(slam_m, gui_m, "slam")
         if fusion_m is not None:
             # GUI->fusion command back-channel (reference

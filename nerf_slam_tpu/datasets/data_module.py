@@ -21,7 +21,12 @@ def build_dataset(dataset_name: str, dataset_dir: str = None, **kw):
         return TumDataset(dataset_dir, **loader_kw)
     if dataset_name == "euroc":
         from .euroc_dataset import EurocDataset
-        return EurocDataset(dataset_dir, **loader_kw)
+        if "target_hw" in kw:
+            loader_kw["target_hw"] = kw["target_hw"]
+        elif "height" in kw and "width" in kw:
+            loader_kw["target_hw"] = (kw["height"], kw["width"])
+        return EurocDataset(dataset_dir, stereo=kw.get("stereo", False),
+                            **loader_kw)
     if dataset_name == "realsense":
         from .realsense_dataset import RealSenseDataset
         return RealSenseDataset(buffer=kw.get("buffer", 512))

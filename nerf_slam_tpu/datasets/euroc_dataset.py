@@ -1,9 +1,14 @@
-"""EuRoC MAV dataset loader (mono path + IMU).
+"""EuRoC MAV dataset loader (mono + stereo + IMU).
 
 Equivalent of /root/reference/datasets/euroc_dataset.py: YAML sensor
-calibration (cam0/imu0/ground-truth), CSV parsing, radial-tangential
+calibration (cam0/cam1/imu0/ground-truth), CSV parsing, radial-tangential
 undistortion + resize for the mono pipeline, nearest-timestamp GT lookup.
-Stereo rectification lands with the stereo component batch.
+Stereo mode rectifies cam0/cam1 to a shared pinhole (the reference
+hardcodes precomputed EuRoC rectification matrices at
+datasets/euroc_dataset.py:37-62; we derive them from the sensor YAMLs
+with cv2.stereoRectify so any EuRoC-layout rig works) and emits
+``images_right`` + ``stereo_rel`` (cam1_T_cam0 [t, q_xyzw]) per packet,
+the contract the stereo frontend consumes.
 """
 from __future__ import annotations
 
@@ -37,10 +42,12 @@ def _quat_wxyz_to_mat(q):
 class EurocDataset(Dataset):
     def __init__(self, dataset_dir: str, initial_k: int = 0,
                  final_k: int = -1, img_stride: int = 1,
-                 buffer: int = 512, target_hw=(384, 512)):
+                 buffer: int = 512, target_hw=(384, 512),
+                 stereo: bool = False):
         super().__init__("euroc", dataset_dir, initial_k, final_k,
                          img_stride, buffer=buffer)
         self.target_hw = target_hw
+        self.stereo = stereo
         self._parse()
 
     def _mav(self, *parts) -> str:
@@ -77,6 +84,16 @@ class EurocDataset(Dataset):
         self.image_files = [self._mav("cam0", "data", name.strip())
                             for name in csv[:, 1]]
 
+        # stereo: rectify cam0/cam1 to a shared pinhole.  The reference
+        # bakes the EuRoC rectification matrices in (euroc_dataset.py:
+        # 37-62); deriving them from the YAMLs generalizes to any rig.
+        self.stereo_rel = None
+        self._maps_r = None
+        if self.stereo:
+            self._setup_stereo(np.array([fx, fy, cx, cy]),
+                               np.array([k1, k2, p1, p2, 0.0]),
+                               (W, H), body_T_cam)
+
         # IMU
         self.imu = None
         imu_yaml = self._mav("imu0", "sensor.yaml")
@@ -102,7 +119,64 @@ class EurocDataset(Dataset):
         if os.path.exists(gt_csv):
             self.gt = np.genfromtxt(gt_csv, delimiter=",", skip_header=1)
 
-        self._maps = None
+        if not self.stereo:
+            self._maps = None    # built lazily (mono undistort+resize)
+
+    def _setup_stereo(self, K0_vec, d0, wh, body_T_cam0):
+        """Joint cam0/cam1 rectification to a shared pinhole at out_hw.
+
+        After rectification both cameras share P_rect's intrinsics, the
+        relative pose collapses to a pure x-baseline, and epipolar lines
+        are horizontal -- exactly the geometry the frontend's (i, i)
+        stereo edges assume (stereo_rel = cam1_T_cam0 = [-b, 0, 0, id]).
+        """
+        import cv2
+        cam1 = _load_yaml(self._mav("cam1", "sensor.yaml"))
+        fx1, fy1, cx1, cy1 = cam1["intrinsics"]
+        dist1 = list(cam1["distortion_coefficients"]) + [0.0]
+        body_T_cam1 = np.array(cam1["T_BS"]["data"]).reshape(4, 4)
+        W, H = wh
+        h1, w1 = self.out_hw
+
+        K0 = np.array([[K0_vec[0], 0, K0_vec[2]],
+                       [0, K0_vec[1], K0_vec[3]], [0, 0, 1.0]])
+        K1 = np.array([[fx1, 0, cx1], [0, fy1, cy1], [0, 0, 1.0]])
+        cam1_T_cam0 = np.linalg.inv(body_T_cam1) @ body_T_cam0
+        R1, R2, P1, P2, *_ = cv2.stereoRectify(
+            K0, np.asarray(d0[:4], np.float64),
+            K1, np.asarray(dist1[:4], np.float64), (W, H),
+            np.ascontiguousarray(cam1_T_cam0[:3, :3]),
+            np.ascontiguousarray(cam1_T_cam0[:3, 3]).reshape(3, 1),
+            flags=cv2.CALIB_ZERO_DISPARITY, alpha=0,
+            newImageSize=(w1, h1))
+        self._maps = cv2.initUndistortRectifyMap(
+            K0, np.asarray(d0[:4], np.float64), R1, P1[:3, :3],
+            (w1, h1), cv2.CV_32FC1)
+        self._maps_r = cv2.initUndistortRectifyMap(
+            K1, np.asarray(dist1[:4], np.float64), R2, P2[:3, :3],
+            (w1, h1), cv2.CV_32FC1)
+
+        # shared rectified pinhole replaces the mono-resize intrinsics
+        self.calib.camera_model = PinholeCameraModel(
+            P1[0, 0], P1[1, 1], P1[0, 2], P1[1, 2])
+        # rectification rotates cam0 by R1: x_rect = R1 @ x_cam0, so
+        # body_T_cam0rect = body_T_cam0 @ R1^T (GT poses pick this up)
+        rect = np.eye(4)
+        rect[:3, :3] = R1.T
+        self.calib.body_T_cam = body_T_cam0 @ rect
+        baseline = float(-P2[0, 3] / P2[0, 0])
+        self.baseline = baseline
+        self.stereo_rel = np.array([-baseline, 0, 0, 0, 0, 0, 1.0],
+                                   np.float32)
+
+        # cam1 image list keyed by timestamp (EuRoC pairs share stamps)
+        csv1 = np.genfromtxt(self._mav("cam1", "data.csv"), delimiter=",",
+                             dtype=str, skip_header=1)
+        t2f = {int(t): name.strip() for t, name in
+               zip(csv1[:, 0], csv1[:, 1])}
+        self.image_files_r = [
+            self._mav("cam1", "data", t2f[int(t)])
+            if int(t) in t2f else None for t in self.timestamps]
 
     def _undistort_maps(self):
         if self._maps is None:
@@ -157,4 +231,12 @@ class EurocDataset(Dataset):
             # (reference euroc_dataset.py packet's imu_t0_t1)
             pkt["imu_t0_t1"] = self.imu_between(
                 int(self.timestamps[k - 1]), t_ns)
+        if self.stereo and self.image_files_r[k] is not None:
+            img_r = cv2.imread(self.image_files_r[k],
+                               cv2.IMREAD_GRAYSCALE)
+            m1r, m2r = self._maps_r
+            img_r = cv2.remap(img_r, m1r, m2r, cv2.INTER_LINEAR)
+            pkt["images_right"] = np.ascontiguousarray(
+                np.repeat(img_r[..., None], 3, axis=-1), np.uint8)
+            pkt["stereo_rel"] = self.stereo_rel
         return pkt

@@ -191,6 +191,62 @@ def sample_along_rays(key, origins, dirs, depth_guess, depth_valid,
     return t
 
 
+def occupancy_grid(params: NGPParams, field, cfg: NGPConfig,
+                   res: int) -> jax.Array:
+    """Dense sigma grid over the unit cube: (res, res, res) float32.
+
+    The TPU replacement for instant-ngp's bitfield occupancy march
+    (reference render path, /root/reference/fusion/nerf_fusion.py:94-95):
+    rather than marching a sparse bitfield (divergent, gather-bound),
+    we query the field once on a dense grid -- res=64 is 262k MLP
+    evaluations, a fraction of ONE training step -- and use it to bound
+    per-ray sample intervals (see ray_occ_interval)."""
+    g = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
+    zz, yy, xx = jnp.meshgrid(g, g, g, indexing="ij")
+    pos = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+    dirs = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0]), pos.shape)      # sigma ignores dirs
+    sigma, _ = query(params, field, cfg, pos, dirs)
+    return sigma.reshape(res, res, res)
+
+
+def ray_occ_interval(occ_mask: jax.Array, origins: jax.Array,
+                     dirs: jax.Array, cfg: NGPConfig,
+                     n_coarse: int = 64):
+    """Per-ray [t_lo, t_hi] bounds of the occupied region.
+
+    Probes the boolean occupancy mask at ``n_coarse`` points along
+    [near, far] (pure gathers -- no MLP) and returns the first/last
+    occupied probe distance, padded by one probe spacing.  Rays that hit
+    nothing keep the full interval (they saturate to background either
+    way).  Static shapes throughout; empty-space skipping happens by
+    CONCENTRATING the fine samples, not by dropping rays."""
+    res = occ_mask.shape[0]
+    tc = jnp.linspace(cfg.near, cfg.far, n_coarse)
+    pos = origins[:, None, :] + tc[None, :, None] * dirs[:, None, :]
+    inside = jnp.all((pos >= 0.0) & (pos < 1.0), axis=-1)
+    idx = jnp.clip((pos * res).astype(jnp.int32), 0, res - 1)
+    hit = occ_mask[idx[..., 2], idx[..., 1], idx[..., 0]] & inside
+    any_hit = hit.any(axis=-1)
+    first = jnp.argmax(hit, axis=-1)
+    last = (n_coarse - 1) - jnp.argmax(hit[:, ::-1], axis=-1)
+    pad = (cfg.far - cfg.near) / n_coarse
+    t_lo = jnp.where(any_hit, tc[first] - pad, cfg.near)
+    t_hi = jnp.where(any_hit, tc[last] + pad, cfg.far)
+    return (jnp.clip(t_lo, cfg.near, cfg.far),
+            jnp.clip(t_hi, cfg.near, cfg.far), any_hit)
+
+
+def sample_in_interval(key, t_lo: jax.Array, t_hi: jax.Array, n: int):
+    """Stratified samples inside per-ray [t_lo, t_hi]: (R, n), sorted."""
+    R = t_lo.shape[0]
+    edges = jnp.linspace(0.0, 1.0, n + 1)
+    lo = edges[:-1][None, :]
+    span = (edges[1:] - edges[:-1])[None, :]
+    u = lo + span * jax.random.uniform(key, (R, n))
+    return t_lo[:, None] + (t_hi - t_lo)[:, None] * u
+
+
 def render_rays(params: NGPParams, field: NGPField, cfg: NGPConfig,
                 origins, dirs, t):
     """Volume rendering.  origins/dirs: (R, 3) in normalized scene units
