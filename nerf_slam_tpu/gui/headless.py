@@ -108,6 +108,12 @@ class HeadlessGui:
     def toggle_mask(self):                        # 'T'
         self._commands.append({"cmd": "toggle_mask"})
 
+    def request_rebuild(self):                    # 'Z'
+        """Replay the TSDF keyframe history at the current sigma
+        threshold (reference open3d_gui.py:193)."""
+        self._commands.append({"cmd": "rebuild",
+                               "value": float(self.sigma_thresh)})
+
     def pop_commands(self):
         out, self._commands = self._commands, []
         return out

@@ -35,6 +35,7 @@ button{margin:2px;background:#333;color:#ddd;border:1px solid #666}
 <button onclick="cmd('mesh')">[M]esh</button>
 <button onclick="cmd('eval')">[N] eval</button>
 <button onclick="cmd('toggle_mask')">[T]oggle mask</button>
+<button onclick="cmd('rebuild')">[Z] rebuild</button>
 <button onclick="cmd('sigma_thresh&value='+prompt('sigma thresh','10'))">
 [A/S] sigma</button>
 </div>

@@ -110,9 +110,21 @@ class FusionModule(PipelineModule):
                 row = self.fusion.evaluate_training_views()
                 print(f"[fusion] eval: {row}")
         elif name == "sigma_thresh":
-            if hasattr(self.fusion, "cfg") and \
-                    hasattr(self.fusion.cfg, "mask_type"):
-                self.fusion.sigma_thresh = float(cmd.get("value", 10.0))
+            # live masking threshold (reference A/S keys,
+            # open3d_gui.py:181-190): NerfFusion applies it to packets
+            # fused from now on; TsdfFusion to future integrations
+            # (send "rebuild" to re-filter already-fused history)
+            if hasattr(self.fusion, "set_sigma_thresh"):
+                self.fusion.set_sigma_thresh(float(cmd.get("value",
+                                                           10.0)))
+        elif name == "rebuild":
+            # replay the TSDF keyframe history at the current threshold
+            # (reference 'Z' key, open3d_gui.py:193)
+            if hasattr(self.fusion, "rebuild"):
+                if "value" in cmd:
+                    self.fusion.rebuild(float(cmd["value"]))
+                else:
+                    self.fusion.rebuild()
         elif name == "toggle_mask":
             cfg = getattr(self.fusion, "cfg", None)
             if cfg is not None and hasattr(cfg, "mask_type"):
@@ -132,13 +144,19 @@ class FusionModule(PipelineModule):
         elif packet is not None:
             pkt = packet
         with DEVICE_LOCK:
-            if pkt is not None:
-                self.done = self.fusion.fuse(pkt) or self.done
             if gui_pkt is not None:
                 for cmd in gui_pkt.get("gui_commands", []):
                     self.handle_command(cmd)
-            if self.mode == "nerf":
-                self.fusion.fit_volume(self.iters_per_spin)
+            if (self.mode == "nerf"
+                    and hasattr(self.fusion, "fuse_and_fit")):
+                # packet ingest + training fused into one dispatch
+                self.done = (self.fusion.fuse_and_fit(
+                    pkt, self.iters_per_spin) or self.done)
+            else:
+                if pkt is not None:
+                    self.done = self.fusion.fuse(pkt) or self.done
+                if self.mode == "nerf":
+                    self.fusion.fit_volume(self.iters_per_spin)
         # yield OUTSIDE the lock so idle throttling never blocks tracking
         if pkt is None and not self.done and self.parallel_run \
                 and self.idle_sleep_s > 0:

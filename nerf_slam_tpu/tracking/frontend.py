@@ -39,6 +39,7 @@ from ..models import DroidNet
 from ..ops import corr
 from ..ops import corr_pallas
 from ..solver import dba
+from ..utils.runtime import count_dispatch, count_sync
 from . import graph as graphlib
 
 
@@ -216,6 +217,8 @@ class RaftVisualFrontend:
         self._pending_app: list = []
         self._pending_app_n_old = 0
         self._viz_pending = None   # (fields, idx) from a fused gather
+        self._viz_idx_snapshot = None   # two-phase reject rollback
+        self._synced_after_dispatch = True
         self.graph = graphlib.CovisibilityGraph(
             max_factors=cfg.max_factors)
         self.state = self._alloc_buffers()
@@ -465,10 +468,11 @@ class RaftVisualFrontend:
                 state.intrinsics[sel])
 
     # the hot fused step ------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 6), donate_argnums=(2, 3, 4))
+    @partial(jax.jit, static_argnums=(0, 6, 7), donate_argnums=(2, 3, 4))
     def _update_n(self, params, state: KeyframeState, edges: EdgeState,
                   inactive: InactiveState, packed_plan,
-                  light: bool = False):
+                  light: bool = False, two_phase: bool = False,
+                  img_u8=None, gt16=None, small=None, img1_u8=None):
         """Dispatch the fused update: single-device, or shard_map'd over
         the edge axis of a device mesh (cfg.edge_shards > 1).
 
@@ -478,13 +482,25 @@ class RaftVisualFrontend:
           - the pending inactive-flow append (pre-compaction edge slots),
           - the pending edge-state sync (compaction + new-edge init +
             correlation-pyramid rebuild),
-          - the viz-packet gather of the final state.
-        The reference pays a CUDA launch + host round-trip for each of
-        these per keyframe; here one dispatch covers the whole keyframe.
+          - the viz-packet gather of the final state,
+          - optionally (``img_u8 is not None``) the FRAME INGEST itself:
+            normalize + encode + buffer store run first, so a keyframe
+            with the motion filter disabled costs ONE dispatch total,
+          - optionally (``two_phase``) the keyframe accept/reject
+            decision ON DEVICE: iters1, the rejection distance, then a
+            lax.cond that either runs iters2 + the full export tail
+            (accept) or stops (reject) -- collapsing the reference's
+            light-update / host-sync / full-update sequence
+            (visual_frontend.py:607-621) into one program whose host
+            round trip happens once, after everything.
         """
         if self.mesh is None:
+            ingest = None
+            if img_u8 is not None:
+                ingest = (img_u8, gt16, small, img1_u8)
             return self._update_core(params, state, edges, inactive,
-                                     packed_plan, light, None)
+                                     packed_plan, light, None,
+                                     two_phase=two_phase, ingest=ingest)
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -541,7 +557,8 @@ class RaftVisualFrontend:
 
     def _update_core(self, params, state: KeyframeState,
                      edges: EdgeState, inactive: InactiveState,
-                     packed_plan, light: bool, axis):
+                     packed_plan, light: bool, axis,
+                     two_phase: bool = False, ingest=None):
         """n_iters fused GRU+DBA iterations over the active graph.
 
         Equivalent to calling visual_frontend.update() (:370-470) n times,
@@ -574,10 +591,10 @@ class RaftVisualFrontend:
         PRE = self._prefix_len()
         prefix = packed_plan[:PRE]
         viz_sel = prefix[PRE - 1 - self.V_VIZ:PRE - 1]
-        if axis is None:
-            edges, inactive = self._maintenance(state, edges, inactive,
-                                                prefix)
-        n_iters = packed_plan[-8]
+        n_iters = packed_plan[-11]
+        n_iters2 = packed_plan[-10]       # accept-branch iters (two_phase)
+        thr_x1024 = packed_plan[-9]       # keyframe_thresh * 1024
+        ingest_slot = packed_plan[-8]     # fused-ingest store slot
         seed_slot = packed_plan[-7]       # sensed-depth seed slot (-1: off)
         d_a = packed_plan[-6]             # keyframe-distance pair, computed
         d_b = packed_plan[-5]             # on the final state in this jit
@@ -585,7 +602,28 @@ class RaftVisualFrontend:
         t_g = packed_plan[-3]             # prox-prefetch grid scalars
         kf0_g = packed_plan[-2]
         kf1_g = packed_plan[-1]           # -1: prefetch off
-        plan = dba.unpack_plan(packed_plan[PRE:-8], Ea + cfg.e_inactive,
+        if ingest is not None:
+            # fused frame ingest: normalize + encode + store runs inside
+            # THIS dispatch (new edges touching the incoming keyframe
+            # read state.features after the store below)
+            img_u8, gt16, small_arr, img1_u8 = ingest
+            image_norm = self._normalize_dev(img_u8)
+            f_in = self.net.apply(params, image_norm,
+                                  method=DroidNet.features)[0]
+            c_in, ci_in = self.net.apply(params, image_norm,
+                                         method=DroidNet.context)
+            f1_in = None
+            if cfg.stereo and img1_u8 is not None:
+                f1_in = self.net.apply(params,
+                                       self._normalize_dev(img1_u8),
+                                       method=DroidNet.features)[0]
+            state = self._store_frame_body(
+                state, ingest_slot, img_u8, gt16.astype(jnp.float32),
+                small_arr, f_in, c_in[0], ci_in[0], f1_in)
+        if axis is None:
+            edges, inactive = self._maintenance(state, edges, inactive,
+                                                prefix)
+        plan = dba.unpack_plan(packed_plan[PRE:-11], Ea + cfg.e_inactive,
                                cfg.p_window, cfg.k_depth)
         if axis is not None:
             # edge-sharded execution (shard_map): localize the plan's
@@ -717,131 +755,162 @@ class RaftVisualFrontend:
                  edges.flow_weight, state.damping)
         carry = jax.lax.while_loop(lambda c: c[0] < n_iters, one_iter,
                                    carry)
-        _, poses, disps, hidden, flow, flow_w, damping = carry
 
         # keyframe-rejection distance on the updated state, fused here so
         # the host's accept/reject branch costs no extra dispatch
         kf_dist = camera.frame_distance_bidirectional(
-            poses, disps, state.intrinsics, d_a[None], d_b[None],
+            carry[1], carry[2], state.intrinsics, d_a[None], d_b[None],
             cfg.beta)[0]
 
-        if light:
-            # pre-rejection variant: poses/disps/edge state only -- the
-            # accepting update recomputes covariances, upsampling, viz
-            state = state._replace(cam_T_world=poses, idepths=disps,
-                                   damping=damping)
-            edges = edges._replace(hidden=hidden, flow=flow,
-                                   flow_weight=flow_w,
-                                   corr_levels=edges.corr_levels)
+        def light_out(carry):
+            # pre-rejection variant (and the two_phase reject branch):
+            # poses/disps/edge state only -- an accepting update
+            # recomputes covariances, upsampling, viz
+            _, poses, disps, hidden, flow, flow_w, damping = carry
+            st_l = state._replace(cam_T_world=poses, idepths=disps,
+                                  damping=damping)
+            ed_l = edges._replace(hidden=hidden, flow=flow,
+                                  flow_weight=flow_w,
+                                  corr_levels=edges.corr_levels)
             zero = jnp.zeros((), disps.dtype)
-            return (state, edges, inactive, zero, kf_dist,
+            # two_phase gathers the full viz selection for cond-branch
+            # shape parity with full_out (discarded by the host on
+            # reject); the plain light variant keeps the empty gather
+            sel = viz_sel if two_phase else viz_sel[:0]
+            return (st_l, ed_l, inactive, zero, kf_dist,
                     jnp.full((_PF_SI * _PF_SJ,), 1e6, disps.dtype),
-                    self._gather_viz_body(state, viz_sel[:0]))
+                    self._gather_viz_body(st_l, sel))
 
-        # final linearization: covariances + diagnostics
-        targets = jnp.concatenate([flow, inactive.flow], axis=0)
-        weights = jnp.concatenate([flow_w, inactive.flow_weight], axis=0)
-        eta_k = cfg.damping_scale * damping[plan.kx] \
-                + cfg.damping_offset
-        blocks = dba.linearize(poses, disps, state.intrinsics, targets,
-                               weights, plan, stereo_rel=stereo_rel)
-        Hd, vd, Ehat, C, wv = dba.assemble(blocks, plan, disps, eta_k,
-                                           sens_k, axis_name=axis)
-        if cfg.compute_covariances:
-            eb = (blocks[2] if cfg.schur_impl == "sparse"
-                  and axis is None else None)
-            _, _, L, Q = dba.solve_system(Hd, vd, Ehat, C, wv, plan,
-                                          cfg.ep, cfg.lm, E_blocks=eb)
-            pose_cov_p, z_cov = dba.covariances(L, Ehat, Q, plan)
-            z_cov = z_cov.reshape(K, h, w)
-        else:
-            pose_cov_p = jnp.tile(1e-4 * jnp.eye(6), (plan.px.shape[0],
-                                                      1, 1))
-            z_cov = jnp.ones((K, h, w))
+        def full_out(carry):
+            _, poses, disps, hidden, flow, flow_w, damping = carry
+            # final linearization: covariances + diagnostics
+            targets = jnp.concatenate([flow, inactive.flow], axis=0)
+            weights = jnp.concatenate([flow_w, inactive.flow_weight],
+                                      axis=0)
+            eta_k = cfg.damping_scale * damping[plan.kx] \
+                    + cfg.damping_offset
+            blocks = dba.linearize(poses, disps, state.intrinsics,
+                                   targets, weights, plan,
+                                   stereo_rel=stereo_rel)
+            Hd, vd, Ehat, C, wv = dba.assemble(blocks, plan, disps,
+                                               eta_k, sens_k,
+                                               axis_name=axis)
+            if cfg.compute_covariances:
+                eb = (blocks[2] if cfg.schur_impl == "sparse"
+                      and axis is None else None)
+                _, _, L, Q = dba.solve_system(Hd, vd, Ehat, C, wv, plan,
+                                              cfg.ep, cfg.lm,
+                                              E_blocks=eb)
+                pose_cov_p, z_cov = dba.covariances(L, Ehat, Q, plan)
+                z_cov = z_cov.reshape(K, h, w)
+            else:
+                pose_cov_p = jnp.tile(1e-4 * jnp.eye(6),
+                                      (plan.px.shape[0], 1, 1))
+                z_cov = jnp.ones((K, h, w))
 
-        coords1, valid, _ = camera.projective_transform(
-            poses, disps, state.intrinsics, plan.ii, plan.jj,
-            stereo_rel=stereo_rel)
-        r = (targets - coords1) * valid \
-            * plan.edge_valid[:, None, None, None]
-        num = jnp.sum(r * r)
-        den = jnp.sum(valid) * 2.0
-        if axis is not None:
-            num, den = jax.lax.psum((num, den), axis)
-        flow_rms = jnp.sqrt(num / jnp.maximum(den, 1.0))
+            coords1, valid, _ = camera.projective_transform(
+                poses, disps, state.intrinsics, plan.ii, plan.jj,
+                stereo_rel=stereo_rel)
+            r = (targets - coords1) * valid \
+                * plan.edge_valid[:, None, None, None]
+            num = jnp.sum(r * r)
+            den = jnp.sum(valid) * 2.0
+            if axis is not None:
+                num, den = jax.lax.psum((num, den), axis)
+            flow_rms = jnp.sqrt(num / jnp.maximum(den, 1.0))
 
-        # covariance export (touched keyframes only)
-        px_safe = jnp.where(plan.p_valid > 0, plan.px,
-                            state.pose_cov.shape[0])
-        pose_cov = state.pose_cov.at[px_safe].set(
-            _cov_droid_to_gtsam(pose_cov_p), mode="drop")
-        idepths_cov = dba.kx_scatter(state.idepths_cov, plan.kx,
-                                     plan.k_valid, z_cov)
-        d4 = jnp.maximum(disps[plan.kx], 1e-3) ** 4
-        depths_cov_k = z_cov / d4
-        depths_cov = dba.kx_scatter(state.depths_cov, plan.kx,
-                                    plan.k_valid, depths_cov_k)
+            # covariance export (touched keyframes only)
+            px_safe = jnp.where(plan.p_valid > 0, plan.px,
+                                state.pose_cov.shape[0])
+            pose_cov = state.pose_cov.at[px_safe].set(
+                _cov_droid_to_gtsam(pose_cov_p), mode="drop")
+            idepths_cov = dba.kx_scatter(state.idepths_cov, plan.kx,
+                                         plan.k_valid, z_cov)
+            d4 = jnp.maximum(disps[plan.kx], 1e-3) ** 4
+            depths_cov_k = z_cov / d4
+            depths_cov = dba.kx_scatter(state.depths_cov, plan.kx,
+                                        plan.k_valid, depths_cov_k)
 
-        # convex upsampling of idepths + depth covs (:444-446), using the
-        # upmask from the final hidden state
-        _, upmask = self.net.apply(params, hidden, seg, K, axis,
-                                   method=DroidNet.aggregate)
-        um = upmask.transpose(0, 3, 1, 2).reshape(K, 576, h, w)
-        up_d = upsample.upsample_disp(disps[plan.kx], um)
-        up_c = upsample.upsample_disp(depths_cov_k, um, pow=1.0)
-        idepths_up = dba.kx_scatter(state.idepths_up, plan.kx,
-                                    plan.k_valid, up_d)
-        depths_cov_up = dba.kx_scatter(state.depths_cov_up, plan.kx,
-                                       plan.k_valid, up_c)
+            # convex upsampling of idepths + depth covs (:444-446), using
+            # the upmask from the final hidden state
+            _, upmask = self.net.apply(params, hidden, seg, K, axis,
+                                       method=DroidNet.aggregate)
+            um = upmask.transpose(0, 3, 1, 2).reshape(K, 576, h, w)
+            up_d = upsample.upsample_disp(disps[plan.kx], um)
+            up_c = upsample.upsample_disp(depths_cov_k, um, pow=1.0)
+            idepths_up = dba.kx_scatter(state.idepths_up, plan.kx,
+                                        plan.k_valid, up_d)
+            depths_cov_up = dba.kx_scatter(state.depths_cov_up, plan.kx,
+                                           plan.k_valid, up_c)
 
-        state = state._replace(
-            cam_T_world=poses, idepths=disps, damping=damping,
-            pose_cov=pose_cov, idepths_cov=idepths_cov,
-            depths_cov=depths_cov, idepths_up=idepths_up,
-            depths_cov_up=depths_cov_up)
+            st1 = state._replace(
+                cam_T_world=poses, idepths=disps, damping=damping,
+                pose_cov=pose_cov, idepths_cov=idepths_cov,
+                depths_cov=depths_cov, idepths_up=idepths_up,
+                depths_cov_up=depths_cov_up)
 
-        # next-keyframe seeding (visual_frontend.py:620-635), fused: copy
-        # keyframe sn-1's state into slot sn (idepths seeded with the
-        # source map's mean)
-        B = state.cam_T_world.shape[0]
-        sn = seed_next
-        src = jnp.clip(sn - 1, 0, B - 1)
-        m = ((jnp.arange(B) == sn) & (sn >= 0))
+            # next-keyframe seeding (visual_frontend.py:620-635), fused:
+            # copy keyframe sn-1's state into slot sn (idepths seeded
+            # with the source map's mean)
+            B = st1.cam_T_world.shape[0]
+            sn = seed_next
+            src = jnp.clip(sn - 1, 0, B - 1)
+            m = ((jnp.arange(B) == sn) & (sn >= 0))
 
-        def seed(buf, val):
-            shape = (B,) + (1,) * (buf.ndim - 1)
-            return jnp.where(m.reshape(shape), val, buf)
+            def seed(buf, val):
+                shape = (B,) + (1,) * (buf.ndim - 1)
+                return jnp.where(m.reshape(shape), val, buf)
 
-        st2 = state._replace(
-            cam_T_world=seed(state.cam_T_world, state.cam_T_world[src]),
-            pose_cov=seed(state.pose_cov, state.pose_cov[src]),
-            idepths=seed(state.idepths, state.idepths[src].mean()),
-            idepths_cov=seed(state.idepths_cov, state.idepths_cov[src]),
-            depths_cov=seed(state.depths_cov, state.depths_cov[src]),
-            intrinsics=seed(state.intrinsics, state.intrinsics[src]))
+            st2 = st1._replace(
+                cam_T_world=seed(st1.cam_T_world, st1.cam_T_world[src]),
+                pose_cov=seed(st1.pose_cov, st1.pose_cov[src]),
+                idepths=seed(st1.idepths, st1.idepths[src].mean()),
+                idepths_cov=seed(st1.idepths_cov, st1.idepths_cov[src]),
+                depths_cov=seed(st1.depths_cov, st1.depths_cov[src]),
+                intrinsics=seed(st1.intrinsics, st1.intrinsics[src]))
 
-        # proximity-grid prefetch for the NEXT keyframe, computed on the
-        # seeded state (replaces a separate padded distance dispatch)
-        iis = kf0_g + jnp.arange(_PF_SI)
-        jjs = kf1_g + jnp.arange(_PF_SJ)
-        ii_g = jnp.repeat(iis, _PF_SJ)
-        jj_g = jnp.tile(jjs, _PF_SI)
-        ok = ((ii_g >= 0) & (ii_g < t_g) & (jj_g >= 0) & (jj_g < t_g)
-              & (kf1_g >= 0))
-        ii_s = jnp.clip(ii_g, 0, B - 1)
-        jj_s = jnp.clip(jj_g, 0, B - 1)
-        prox_d = camera.frame_distance_bidirectional(
-            st2.cam_T_world, st2.idepths, st2.intrinsics, ii_s, jj_s,
-            cfg.beta)
-        prox_d = jnp.where(ok, prox_d, 1e6)
+            # proximity-grid prefetch for the NEXT keyframe, computed on
+            # the seeded state (replaces a separate distance dispatch)
+            iis = kf0_g + jnp.arange(_PF_SI)
+            jjs = kf1_g + jnp.arange(_PF_SJ)
+            ii_g = jnp.repeat(iis, _PF_SJ)
+            jj_g = jnp.tile(jjs, _PF_SI)
+            ok = ((ii_g >= 0) & (ii_g < t_g) & (jj_g >= 0)
+                  & (jj_g < t_g) & (kf1_g >= 0))
+            ii_s = jnp.clip(ii_g, 0, B - 1)
+            jj_s = jnp.clip(jj_g, 0, B - 1)
+            prox_d = camera.frame_distance_bidirectional(
+                st2.cam_T_world, st2.idepths, st2.intrinsics, ii_s,
+                jj_s, cfg.beta)
+            prox_d = jnp.where(ok, prox_d, 1e6)
 
-        edges = edges._replace(hidden=hidden, flow=flow,
-                               flow_weight=flow_w,
-                               corr_levels=edges.corr_levels)
-        # fused viz-packet gather of the FINAL state (before next-kf
-        # seeding would not matter -- seeding writes future slots only)
-        viz = self._gather_viz_body(st2, viz_sel)
-        return st2, edges, inactive, flow_rms, kf_dist, prox_d, viz
+            ed2 = edges._replace(hidden=hidden, flow=flow,
+                                 flow_weight=flow_w,
+                                 corr_levels=edges.corr_levels)
+            # fused viz-packet gather of the FINAL state (before next-kf
+            # seeding would not matter -- seeding writes future slots)
+            viz = self._gather_viz_body(st2, viz_sel)
+            return st2, ed2, inactive, flow_rms, kf_dist, prox_d, viz
+
+        if light:
+            return light_out(carry)
+        if not two_phase:
+            return full_out(carry)
+
+        # two-phase: the accept/reject decision runs ON DEVICE.  Accept
+        # (kf_dist >= keyframe_thresh) continues with iters2 more
+        # GRU+DBA iterations and the full export tail; reject stops at
+        # the light state (the host then rolls the keyframe away,
+        # visual_frontend.py:611-616).  One dispatch either way.
+        def accept_fn(c):
+            c = (jnp.zeros((), jnp.int32),) + c[1:]
+            c = jax.lax.while_loop(lambda cc: cc[0] < n_iters2,
+                                   one_iter, c)
+            return full_out(c)
+
+        thresh = thr_x1024.astype(jnp.float32) / 1024.0
+        return jax.lax.cond(kf_dist >= thresh, accept_fn, light_out,
+                            carry)
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -964,6 +1033,7 @@ class RaftVisualFrontend:
         img, gt16, img1 = self._frame_uploads(batch)
         if img_dev is not None:
             img = img_dev
+        count_dispatch("ingest")
         self.state, _ = self._ingest(
             self.state, self.params, img, gt16, jnp.asarray(small),
             jnp.int32(slot), False, img1)
@@ -971,6 +1041,8 @@ class RaftVisualFrontend:
 
     def has_enough_motion(self, feat_cur) -> bool:
         st = self.state
+        count_dispatch("motion_mag")
+        count_sync("motion_mag")
         mag = self._motion_mag(
             self.params, st.features[self.last_kf_idx].astype(jnp.float32),
             feat_cur, st.contexts[self.last_kf_idx],
@@ -994,6 +1066,7 @@ class RaftVisualFrontend:
             idx = np.concatenate(self._pending_app)[:Ei]
             idx_pad = np.zeros(Ei, dtype=np.int32)
             idx_pad[:len(idx)] = idx
+            count_dispatch("append_inactive")
             self.inactive = self._append_inactive(
                 self.inactive, self.edges.flow, self.edges.flow_weight,
                 jnp.asarray(idx_pad), jnp.int32(self._pending_app_n_old),
@@ -1020,6 +1093,7 @@ class RaftVisualFrontend:
         ii_pad[:n] = g.ii
         jj_pad[:n] = g.jj
         packed = np.concatenate([gather, new_mask, ii_pad, jj_pad])
+        count_dispatch("refresh_edges")
         self.edges = self._refresh_edges(
             self.params, self.state, self.edges, jnp.asarray(packed))
 
@@ -1116,11 +1190,20 @@ class RaftVisualFrontend:
                seed_sensed_slot: int = -1,
                kf_dist_pair: Optional[Tuple[int, int]] = None,
                light: bool = False, seed_next: int = -1,
-               prefetch: bool = False):
+               prefetch: bool = False, two_phase: bool = False,
+               n_iters2: int = 0, ingest=None):
+        """One fused update dispatch.  ``two_phase``: run ``n_iters``,
+        decide accept/reject on device (cfg.keyframe_thresh), run
+        ``n_iters2`` + exports only on accept.  ``ingest``: a tuple
+        (img_u8_dev, gt16_dev, small_np, img1_dev_or_None, slot) whose
+        normalize+encode+store rides this dispatch (motion-filter-off
+        keyframes cost ONE dispatch total)."""
         cfg = self.cfg
         g = self.graph
         if g.n_edges == 0:
             return None
+        assert not (two_phase or ingest) or self.mesh is None, \
+            "two_phase/fused-ingest unsupported on the sharded path"
         kf0 = max(0, int(g.ii.min()))
         kf1 = max(int(g.ii.max()), int(g.jj.max())) + 1
 
@@ -1154,6 +1237,9 @@ class RaftVisualFrontend:
         o += 3 + Ei
         viz_key = None
         if not light:
+            if two_phase:
+                # optimistic viz bookkeeping: snapshot for reject rollback
+                self._viz_idx_snapshot = self.viz_idx.copy()
             self.viz_idx[kf0:self.kf_idx + 1] = True
             idxs = np.nonzero(self.viz_idx)[0]
             if self.mesh is None and 0 < idxs.size <= V:
@@ -1198,15 +1284,27 @@ class RaftVisualFrontend:
             if (t_g - kf0_g > _PF_SI or t_g - kf1_g > _PF_SJ
                     or kf0_g < 0):
                 t_g, kf0_g, kf1_g = 0, 0, -1   # grid too big: disable
+        thr = (int(round(cfg.keyframe_thresh * 1024)) if two_phase
+               else 0)
+        in_slot = ingest[4] if ingest is not None else 0
         packed = np.concatenate([prefix, packed,
-                                 np.array([n_iters, seed_sensed_slot,
+                                 np.array([n_iters, n_iters2, thr,
+                                           in_slot, seed_sensed_slot,
                                            da, db, seed_next, t_g,
                                            kf0_g, kf1_g], np.int32)])
 
+        if ingest is not None:
+            img_dev, gt16, small_np, img1_dev, _ = ingest
+            small_dev = jnp.asarray(small_np)
+        else:
+            img_dev = gt16 = small_dev = img1_dev = None
+        count_dispatch("update_n")
         (state, edges, inactive, flow_rms, kf_dist, prox_d,
          viz) = self._update_n(
             self.params, self.state, self.edges, self.inactive,
-            jnp.asarray(packed), light)
+            jnp.asarray(packed), light, two_phase, img_dev, gt16,
+            small_dev, img1_dev)
+        self._synced_after_dispatch = False
         self.state = state
         self.edges = edges
         self.inactive = inactive
@@ -1305,8 +1403,10 @@ class RaftVisualFrontend:
         packed = np.zeros(2 * size, np.int32)
         packed[:n] = ii
         packed[size:size + n] = jj
+        count_dispatch("distance")
         d = self._distance(st.cam_T_world, st.idepths, st.intrinsics,
                            jnp.asarray(packed), self.cfg.beta)
+        count_sync("distance")
         return np.asarray(d)[:n]
 
     def add_neighborhood_factors(self, kf0, kf1, radius=3):
@@ -1329,6 +1429,7 @@ class RaftVisualFrontend:
         packed = np.zeros(2 * size, np.int32)
         packed[:n] = ii
         packed[size:size + n] = jj
+        count_dispatch("distance")
         d = self._distance(st.cam_T_world, st.idepths, st.intrinsics,
                            jnp.asarray(packed), self.cfg.beta)
         return d, n
@@ -1431,18 +1532,29 @@ class RaftVisualFrontend:
         # store into slot kf_idx.  The store is unconditional; a motion
         # reject simply leaves a candidate in the slot for the next
         # frame to overwrite (nothing reads the slot until accepted).
+        # With the motion filter disabled, even this dispatch is fused
+        # INTO the update program (fuse_ingest): a steady-state keyframe
+        # then costs one dispatch total.
         with_motion = self.cfg.motion_filter_thresh >= 0
         small = self._pack_small(k, batch)
         img, gt16, img1 = self._frame_uploads(batch)
-        self.state, mag = self._ingest(
-            self.state, self.params, img, gt16, jnp.asarray(small),
-            jnp.int32(self.kf_idx), with_motion, img1)
-        if with_motion and not float(mag) > self.cfg.motion_filter_thresh:
-            if batch.get("is_last_frame"):
-                self.kf_idx -= 1
-                self.terminate()
-                return self.get_viz_out(batch)
-            return None
+        fuse_ingest = (not with_motion and self.is_initialized
+                       and self.mesh is None)
+        if not fuse_ingest:
+            count_dispatch("ingest")
+            self.state, mag = self._ingest(
+                self.state, self.params, img, gt16, jnp.asarray(small),
+                jnp.int32(self.kf_idx), with_motion, img1)
+            self._synced_after_dispatch = False
+            if with_motion:
+                count_sync("motion_mag")
+                self._synced_after_dispatch = True
+                if not float(mag) > self.cfg.motion_filter_thresh:
+                    if batch.get("is_last_frame"):
+                        self.kf_idx -= 1
+                        self.terminate()
+                        return self.get_viz_out(batch)
+                    return None
 
         self._host_frame_bookkeeping(self.kf_idx, small, batch)
         self.kf_idx_to_f_idx[self.kf_idx] = k
@@ -1452,7 +1564,9 @@ class RaftVisualFrontend:
             if self.kf_idx >= cfg.keyframe_warmup:
                 self.__initialize()
         else:
-            if not self.__update():
+            ingest = ((img, gt16, small, img1, self.kf_idx)
+                      if fuse_ingest else None)
+            if not self.__update(ingest=ingest):
                 self.rm_keyframe(self.kf_idx - 1)
                 return None
 
@@ -1460,10 +1574,15 @@ class RaftVisualFrontend:
         self.last_kf_idx = self.kf_idx
         out = self.get_viz_out(batch)
 
-        if self._pace and isinstance(getattr(self, "last_flow_rms", None),
-                                     jax.Array):
-            # drain the dispatch queue once per keyframe (see __init__)
+        if (self._pace and not self._synced_after_dispatch
+                and isinstance(getattr(self, "last_flow_rms", None),
+                               jax.Array)):
+            # drain the dispatch queue once per keyframe (see __init__);
+            # skipped when a sync already followed the last dispatch
+            # (the two-phase kf_dist read paces the production path)
+            count_sync("pace")
             np.asarray(self.last_flow_rms)
+            self._synced_after_dispatch = True
 
         if self.kf_idx + 1 >= cfg.buffer or batch.get("is_last_frame"):
             # buffer-full ends the sequence for every downstream consumer
@@ -1506,7 +1625,7 @@ class RaftVisualFrontend:
         if nxt < cfg.buffer:
             self._prefetch_proximity()
 
-    def __update(self) -> bool:
+    def __update(self, ingest=None) -> bool:
         cfg = self.cfg
         if self.graph.n_edges:
             self.rm_factors(np.asarray(self.graph.age > cfg.max_age),
@@ -1522,16 +1641,54 @@ class RaftVisualFrontend:
         nxt = self.kf_idx + 1
         seed_next = nxt if nxt < cfg.buffer else -1
 
-        if cfg.keyframe_thresh >= 0:
-            # two-phase: a light pre-rejection update, then (on accept)
-            # the full update with exports + seeding + prefetch
+        if ingest is not None and self.graph.n_edges == 0:
+            # update() would no-op on an empty graph, dropping the fused
+            # ingest -- store the frame through the standalone dispatch
+            img_dev, gt16, small_np, img1_dev, slot = ingest
+            count_dispatch("ingest")
+            self.state, _ = self._ingest(
+                self.state, self.params, img_dev, gt16,
+                jnp.asarray(small_np), jnp.int32(slot), False, img1_dev)
+            self._synced_after_dispatch = False
+            ingest = None
+
+        if cfg.keyframe_thresh >= 0 and self.mesh is None:
+            # fused two-phase: iters1, on-device accept/reject, iters2 +
+            # exports on accept -- ONE dispatch, ONE sync per keyframe
+            # (the r1-r3 design paid two dispatches here)
+            ran = self.update(
+                use_inactive=True, n_iters=cfg.iters1,
+                n_iters2=cfg.iters2, two_phase=True,
+                seed_sensed_slot=self.kf_idx,
+                kf_dist_pair=(self.kf_idx - 2, self.kf_idx - 1),
+                seed_next=seed_next, prefetch=seed_next >= 0,
+                ingest=ingest)
+            # gate on the update having actually run: with an empty
+            # graph last_kf_dist is stale and must not reject
+            if ran is not None:
+                count_sync("kf_dist")
+                self._synced_after_dispatch = True
+                if float(self.last_kf_dist) < cfg.keyframe_thresh:
+                    # reject: the device stopped at the light state; roll
+                    # back the optimistic viz bookkeeping (the prefetch
+                    # grid is invalidated by rm_keyframe right after)
+                    if self._viz_idx_snapshot is not None:
+                        self.viz_idx = self._viz_idx_snapshot
+                        self._viz_idx_snapshot = None
+                    self._viz_pending = None
+                    return False
+                self.graph.age += cfg.iters2   # accept branch ran these
+            self._viz_idx_snapshot = None
+        elif cfg.keyframe_thresh >= 0:
+            # sharded-mesh fallback: two dispatches (light + full)
             ran = self.update(
                 use_inactive=True, n_iters=cfg.iters1,
                 seed_sensed_slot=self.kf_idx,
                 kf_dist_pair=(self.kf_idx - 2, self.kf_idx - 1),
                 light=True)
-            # gate on the update having actually run: with an empty
-            # graph last_kf_dist is stale and must not reject
+            if ran is not None:
+                count_sync("kf_dist")
+                self._synced_after_dispatch = True
             if (ran is not None
                     and float(self.last_kf_dist) < cfg.keyframe_thresh):
                 return False
@@ -1543,7 +1700,8 @@ class RaftVisualFrontend:
             self.update(
                 use_inactive=True, n_iters=cfg.iters1 + cfg.iters2,
                 seed_sensed_slot=self.kf_idx,
-                seed_next=seed_next, prefetch=seed_next >= 0)
+                seed_next=seed_next, prefetch=seed_next >= 0,
+                ingest=ingest)
         return True
 
     # global bundle adjustment (terminate path) -------------------------
@@ -1730,6 +1888,7 @@ class RaftVisualFrontend:
             sel = np.full(V, idx[-1], np.int32)
             sel[: idx.size] = idx[:V]
             idx = idx[:V]
+            count_dispatch("gather_viz")
             fields = self._gather_viz(self.state, jnp.asarray(sel))
         names = ["cam0_poses", "gt_poses", "gt_depths", "world_T_body",
                  "world_T_body_cov", "cam0_idepths", "cam0_idepths_up",

@@ -26,6 +26,90 @@ def enable_compilation_cache(path: str = None):
     return path
 
 
+# ---------------------------------------------------------------------------
+# Dispatch / sync / compile accounting.
+#
+# The pipeline is dispatch-latency-bound on the tunneled link (~30-90 ms
+# per host->device round trip), so the number that decides throughput is
+# dispatches-per-keyframe, not FLOPs.  Every jit call site in the hot
+# path calls count_dispatch(name); host-blocking fetches call
+# count_sync(name).  bench.py snapshots/diffs these to report
+# dispatches_per_keyframe (VERDICT r3 next-round #2).
+# ---------------------------------------------------------------------------
+DISPATCH_COUNTS: dict = {}
+SYNC_COUNTS: dict = {}
+_COMPILE_EVENTS = {"n": 0, "secs": 0.0}
+
+
+def count_dispatch(name: str) -> None:
+    DISPATCH_COUNTS[name] = DISPATCH_COUNTS.get(name, 0) + 1
+
+
+def count_sync(name: str) -> None:
+    SYNC_COUNTS[name] = SYNC_COUNTS.get(name, 0) + 1
+
+
+def dispatch_snapshot() -> dict:
+    return {"dispatch": dict(DISPATCH_COUNTS), "sync": dict(SYNC_COUNTS)}
+
+
+def dispatch_delta(snap: dict) -> dict:
+    """Per-name counts since ``snap`` (a dispatch_snapshot())."""
+    out = {"dispatch": {}, "sync": {}}
+    for kind, counts in (("dispatch", DISPATCH_COUNTS),
+                         ("sync", SYNC_COUNTS)):
+        base = snap.get(kind, {})
+        for k, v in counts.items():
+            d = v - base.get(k, 0)
+            if d:
+                out[kind][k] = d
+    out["dispatch_total"] = sum(out["dispatch"].values())
+    out["sync_total"] = sum(out["sync"].values())
+    return out
+
+
+def enable_compile_counting() -> None:
+    """Count XLA compilations (and seconds) via jax.monitoring events;
+    bench.py reports n_programs_compiled / compile_secs (VERDICT r3
+    next-round #6)."""
+    try:
+        from jax._src import monitoring
+
+        def _on_duration(event: str, duration: float, **kw) -> None:
+            if event == "/jax/core/compile/backend_compile_duration":
+                _COMPILE_EVENTS["n"] += 1
+                _COMPILE_EVENTS["secs"] += duration
+
+        monitoring.register_event_duration_secs_listener(_on_duration)
+    except Exception as e:   # monitoring API moved/unavailable
+        print(f"compile counting unavailable: {e}")
+
+
+def compile_stats() -> dict:
+    return {"n_programs_compiled": _COMPILE_EVENTS["n"],
+            "compile_secs": round(_COMPILE_EVENTS["secs"], 1)}
+
+
+def device_peak_flops() -> tuple:
+    """(chip_name, peak bf16 FLOP/s) for the attached device, so
+    utilization is labeled for the actual chip (VERDICT r3 weak #3)."""
+    import jax
+    kind = jax.devices()[0].device_kind
+    peaks = {
+        "TPU v4": 275e12,
+        "TPU v5 lite": 197e12,   # v5e
+        "TPU v5e": 197e12,
+        "TPU v5": 459e12,        # v5p
+        "TPU v5p": 459e12,
+        "TPU v6 lite": 918e12,   # v6e (Trillium)
+        "TPU v6e": 918e12,
+    }
+    for k in sorted(peaks, key=len, reverse=True):
+        if kind.startswith(k):
+            return kind, peaks[k]
+    return kind, 197e12          # unknown: conservative v5e figure
+
+
 @contextmanager
 def profile_trace(logdir: str = "/tmp/nerf_slam_tpu_trace"):
     """JAX profiler trace around a block (tensorboard-compatible)."""
