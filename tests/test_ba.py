@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_slam_tpu.geometry import camera, se3
 from nerf_slam_tpu.solver import ba, schur
@@ -30,6 +31,7 @@ def make_problem(key, n=5, h=10, w=14, dtype=jnp.float32):
     return poses_gt, disps_gt, intr, ii, jj, target, weight
 
 
+@pytest.mark.slow
 def test_schur_solve_matches_dense():
     key = jax.random.PRNGKey(0)
     P, M, D, HW = 3, 4, 6, 5
@@ -63,6 +65,7 @@ def test_schur_solve_matches_dense():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_moba_recovers_poses():
     poses_gt, disps_gt, intr, ii, jj, target, weight = make_problem(
         jax.random.PRNGKey(1))
@@ -105,6 +108,7 @@ def test_full_ba_reduces_error():
     assert float(jnp.abs(err).max()) < 5e-3, err
 
 
+@pytest.mark.slow
 def test_ba_step_is_jittable_with_masked_edges():
     poses_gt, disps_gt, intr, ii, jj, target, weight = make_problem(
         jax.random.PRNGKey(6))

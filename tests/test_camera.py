@@ -55,6 +55,7 @@ def _fd_pose_jac(poses, disps, intr, ii, jj, pose_idx, eps=1e-6):
     return jnp.stack(cols, axis=-1)  # (E,H,W,2,6)
 
 
+@pytest.mark.slow
 def test_projective_jacobians_vs_finite_difference(x64):
     poses, disps, intr = make_scene(jax.random.PRNGKey(2),
                                     dtype=jnp.float64)
@@ -73,6 +74,7 @@ def test_projective_jacobians_vs_finite_difference(x64):
     np.testing.assert_allclose(Ji[0] * mask, fd[0] * mask, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_depth_jacobian_vs_finite_difference(x64):
     poses, disps, intr = make_scene(jax.random.PRNGKey(3),
                                     dtype=jnp.float64)
@@ -127,6 +129,7 @@ def test_cvx_upsample_pow_shrinks_weights():
     assert float(up.max()) < 1.0
 
 
+@pytest.mark.slow
 def test_depth_filter_counts_consistent_views():
     # identical poses & depths: every valid neighbor agrees
     n, h, w = 8, 10, 12

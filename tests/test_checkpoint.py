@@ -1,5 +1,6 @@
 """Checkpoint / resume round-trips."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +22,7 @@ def test_flatten_unflatten_namedtuple(tmp_path):
                                p.mlp["params"]["a"]["kernel"])
 
 
+@pytest.mark.slow
 def test_nerf_checkpoint_roundtrip(tmp_path):
     from nerf_slam_tpu.fusion import NerfFusion, NerfFusionConfig, NGPConfig
     from nerf_slam_tpu.fusion.hashgrid import HashGridConfig
@@ -50,6 +52,7 @@ def test_nerf_checkpoint_roundtrip(tmp_path):
     f2.fit_volume(2)
 
 
+@pytest.mark.slow
 def test_frontend_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     from nerf_slam_tpu.models import DroidNet

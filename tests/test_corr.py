@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -166,6 +167,7 @@ def test_lookup_pallas_matches_reference_lookup():
                                atol=5e-2, rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_corr_pyramid_pallas_matches_onehot_pyramid():
     from nerf_slam_tpu.ops import corr_pallas
     rng = np.random.RandomState(11)
@@ -235,6 +237,7 @@ def test_build_pyramid_bf16_matches_volume_pooling():
                                    np.asarray(w), atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.slow
 def test_lookup_pyramid_fused_matches_per_level():
     from nerf_slam_tpu.ops import corr_pallas
     rng = np.random.RandomState(15)
@@ -257,6 +260,7 @@ def test_lookup_pyramid_fused_matches_per_level():
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_lookup_pyramid_l0_matches_per_level():
     from nerf_slam_tpu.ops import corr_pallas
     rng = np.random.RandomState(16)
@@ -303,6 +307,7 @@ def test_lookup_grouped4_matches_pyramid_reference():
                                atol=5e-2, rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_lookup_grouped4_gated_matches_ungated_prefix():
     """n_act gating: active-prefix rows match the ungated kernel; padded
     rows are don't-care (masked downstream by edge validity)."""
@@ -328,6 +333,7 @@ def test_lookup_grouped4_gated_matches_ungated_prefix():
                                atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_lookup_grouped4_fallback_small():
     """Odd widths take the per-pixel fallback and still match."""
     from nerf_slam_tpu.ops import corr_pallas

@@ -1,5 +1,6 @@
 """Production DBA: convergence, masking, covariance sanity."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -49,6 +50,7 @@ def test_plan_indices():
     assert float(p.p_fixed.sum()) == 0.0
 
 
+@pytest.mark.slow
 def test_dba_converges_and_covariances_finite():
     poses_gt, disps_gt, intr, ii, jj, target, weight = make_problem(
         jax.random.PRNGKey(0))
@@ -87,6 +89,7 @@ def test_dba_converges_and_covariances_finite():
     assert float(tr[0]) < float(tr[1:].min()) + 1e-6
 
 
+@pytest.mark.slow
 def test_dba_motion_only():
     poses_gt, disps_gt, intr, ii, jj, target, weight = make_problem(
         jax.random.PRNGKey(3))
@@ -108,6 +111,7 @@ def test_dba_motion_only():
     np.testing.assert_allclose(res.disps, disps_gt, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dba_window_fixes_out_of_window_poses():
     poses_gt, disps_gt, intr, ii, jj, target, weight = make_problem(
         jax.random.PRNGKey(5))
@@ -130,6 +134,7 @@ def test_dba_window_fixes_out_of_window_poses():
     assert float(jnp.abs(err[kf0:]).max()) < 5e-3, err
 
 
+@pytest.mark.slow
 def test_sparse_schur_matches_dense():
     """The interaction-list Schur assembly must equal the dense path."""
     poses_gt, disps_gt, intr, ii, jj, target, weight = make_problem(
@@ -163,6 +168,7 @@ def test_sparse_schur_matches_dense():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_linearize_cm_matches_nhwc_reference():
     import numpy as np
     rng = np.random.RandomState(5)
@@ -194,6 +200,7 @@ def test_linearize_cm_matches_nhwc_reference():
                                    atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_padded_plan_slots_do_not_clobber_real_updates():
     """plan.kx pads invalid slots with 0 and px clips at the top of the
     buffer: padded scatter rows must NOT overwrite the real updates of

@@ -1,6 +1,7 @@
 """Factor-graph abstraction: pose-graph optimization, robust losses,
 incremental solving (BASELINE.json config #1)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def build_graph(poses, noise_seed=1):
     return g
 
 
+@pytest.mark.slow
 def test_pose_graph_gauss_newton():
     poses = make_pose_chain(5)
     g = build_graph(poses)
@@ -91,6 +93,7 @@ def test_robust_loss_rejects_outlier():
     assert err_rb < 0.3 * err_l2, (err_l2, err_rb)
 
 
+@pytest.mark.slow
 def test_incremental_solver():
     poses = make_pose_chain(4, seed=5)
     solver = IncrementalSolver()
@@ -111,6 +114,7 @@ def test_incremental_solver():
         assert float(jnp.abs(err).max()) < 1e-3, (i, err)
 
 
+@pytest.mark.slow
 def test_incremental_solver_is_actually_incremental():
     """Fluid relinearization: once the back of the chain has converged,
     growing the graph must not relinearize old factors, and the result

@@ -75,6 +75,7 @@ def test_graph_state_is_consistent(small_frontend):
     assert g.age.shape == g.ii.shape
 
 
+@pytest.mark.slow
 def test_global_ba_runs(small_frontend):
     """Global BA (terminate path) on the already-tracked sequence."""
     fe = small_frontend

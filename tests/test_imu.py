@@ -84,6 +84,7 @@ def test_imu_factor_zero_at_truth():
     np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_imu_factor_in_graph_recovers_state():
     """Prior on (pose0, vel0) + IMU factor: solving recovers state 1."""
     pim = PreintegratedImuMeasurements(calib())

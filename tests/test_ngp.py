@@ -1,6 +1,7 @@
 """Hash-grid NeRF: encoding properties and a tiny synthetic fit
 (BASELINE.json config #3 in miniature)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +45,7 @@ def test_sh_encoding_constant_and_norm():
     np.testing.assert_allclose(sh[:, 0], 0.28209479, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_nerf_fit_synthetic_views():
     """Fit a few posed RGB-D views of the synthetic room; PSNR must climb
     well above the initial render and depth-L1 must shrink."""
@@ -83,6 +85,7 @@ def test_nerf_fit_synthetic_views():
     assert row1["depth_l1_cm"] < 30.0, row1
 
 
+@pytest.mark.slow
 def test_fuse_packet_contract():
     """fuse() consumes a frontend-style viz packet."""
     cfg = NerfFusionConfig(buffer=4, height=48, width=64, batch_rays=256)
@@ -113,6 +116,7 @@ def test_fuse_packet_contract():
     assert done
 
 
+@pytest.mark.slow
 def test_extrinsics_refinement_recovers_perturbed_poses():
     """Mapping-time extrinsics refinement (reference nerf_fusion.py:99).
 

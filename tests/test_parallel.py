@@ -66,6 +66,7 @@ def test_sharded_dba_matches_single_device():
                                atol=5e-4)
 
 
+@pytest.mark.slow
 def test_sharded_frontend_matches_single_device():
     """The PRODUCT path: RaftVisualFrontend with cfg.edge_shards > 1
     runs its fused GRU+DBA update shard_map'd over a device mesh and

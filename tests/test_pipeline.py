@@ -29,7 +29,9 @@ def test_ate_detects_error():
     assert 0.01 < e < 0.3
 
 
-@pytest.mark.parametrize("parallel", [False, True])
+@pytest.mark.parametrize(
+    "parallel",
+    [pytest.param(False, marks=pytest.mark.slow), True])
 def test_pipeline_end_to_end(parallel):
     from nerf_slam_tpu.cli.slam_demo import parse_args, run
 

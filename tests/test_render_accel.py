@@ -99,6 +99,7 @@ def test_dynamic_render_resolution():
     assert rgb2.shape == (24, 32, 3)
 
 
+@pytest.mark.slow
 def test_depth_anneal_schedule():
     """Annealing multiplies depth weight 1 -> floor across iterations
     and leaves the rgb loss untouched (checked through scan losses)."""

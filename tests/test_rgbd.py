@@ -38,6 +38,7 @@ def test_interpolate_poses_midpoint_slerp():
     np.testing.assert_allclose(out[1, :3], [2, 0, 0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_all_pairs_distance_matrix():
     poses = np.array([[0, 0, 0, 0, 0, 0, 1],
                       [1, 0, 0, 0, 0, 0, 1],
@@ -67,6 +68,7 @@ def _orbit(n, h=16, w=24):
     return poses7, disps, intr
 
 
+@pytest.mark.slow
 def test_flow_distance_matrix_orders_pairs():
     poses, disps, intr = _orbit(4)
     d = compute_distance_matrix_flow(poses, disps, intr, chunk=8)

@@ -6,6 +6,7 @@ calibration; in the DBA they constrain depth/scale only
 (visual_frontend.py:206, 741, 839-841; droid_kernels.cu:248-258, 367).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +19,7 @@ from nerf_slam_tpu.tracking import RaftVisualFrontend, FrontendConfig
 STEREO_REL = jnp.asarray([-0.1, 0, 0, 0, 0, 0, 1.0], jnp.float32)
 
 
+@pytest.mark.slow
 def test_stereo_dba_recovers_metric_scale():
     """Monocular DBA has a free global scale; stereo (i, i) edges pin it
     to the rig baseline.  Start from a consistently mis-scaled state
@@ -77,6 +79,7 @@ def test_stereo_dba_recovers_metric_scale():
     assert float(res.flow_rms) < 0.1, float(res.flow_rms)
 
 
+@pytest.mark.slow
 def test_stereo_dba_ignored_without_rig():
     """Without stereo_rel, (i, i) edges see an identity relative pose:
     plan construction still works and mono behavior is unchanged for
@@ -102,6 +105,7 @@ def test_stereo_dba_ignored_without_rig():
     assert float(res.flow_rms) < 1e-3
 
 
+@pytest.mark.slow
 def test_stereo_frontend_machinery():
     """Frontend in stereo mode: right-camera features stored, (i, i)
     edges live in the graph, outputs finite."""

@@ -49,6 +49,7 @@ def setup():
     return net, params, batch, ii, jj
 
 
+@pytest.mark.slow
 def test_loss_finite_and_grads_nonzero(setup):
     net, params, batch, ii, jj = setup
     (loss, metrics), grads = jax.value_and_grad(
@@ -63,6 +64,7 @@ def test_loss_finite_and_grads_nonzero(setup):
     assert sum(1 for v in flat if v > 0) > len(flat) * 0.8
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(setup):
     net, params, batch, ii, jj = setup
     opt = optax.adam(2e-4)

@@ -1,5 +1,6 @@
 """Sigma-Fusion TSDF: integrate synthetic RGB-D, ray-cast, evaluate."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from nerf_slam_tpu.fusion.tsdf_fusion import TsdfFusion, TsdfFusionConfig
@@ -102,6 +103,7 @@ def test_marching_tetrahedra_sphere():
     assert np.abs(r - 0.6).mean() < 0.01
 
 
+@pytest.mark.slow
 def test_tsdf_extract_mesh():
     ds = SyntheticDataset(SyntheticConfig(n_frames=6, height=48, width=64))
     fu = make_fusion()
