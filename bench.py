@@ -69,11 +69,7 @@ def build_core(production: bool):
 
     h, w = H // 8, W // 8
     net = DroidNet(dtype=jnp.bfloat16)
-    params = net.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
-        jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
-        jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
-        jnp.array([0]), 1)
+    params = net.init_params(jax.random.PRNGKey(0), H, W)
     if production:
         from nerf_slam_tpu.utils.checkpoint import (load_arrays,
                                                     unflatten_into)

@@ -34,10 +34,9 @@ def build(encoding: str, H: int, W: int, n: int):
     return NerfFusion(cfg, seed=0)
 
 
-def run_encoding(enc, H=336, W=640, n=8,
-                 checkpoints=(200, 500, 1000, 2000)):
-    """Child-process entry: fit one backbone, print one JSON row per
-    checkpoint (prefixed ROW:)."""
+def run_cell(enc, iters, H=336, W=640, n=8):
+    """Child-process entry: fit one backbone to ``iters`` steps,
+    evaluate once, print one JSON row (prefixed ROW:)."""
     import json
 
     from nerf_slam_tpu.datasets import SyntheticDataset, SyntheticConfig
@@ -67,42 +66,44 @@ def run_encoding(enc, H=336, W=640, n=8,
     jax.block_until_ready(fus.params)
     sps = 100 / (time.time() - t0)
 
-    it_done = 110
-    for it in checkpoints:
-        fus.fit_volume(max(0, it - it_done))
-        it_done = max(it_done, it)
-        r = fus.evaluate(imgs[:2], depths[:2], c2ws[:2], intrs[:2],
-                         max_views=2)
-        row = {"encoding": enc, "iters": it,
-               "psnr": round(r["psnr"], 2),
-               "depth_l1_cm": round(r["depth_l1_cm"], 2),
-               "steps_per_s": round(sps, 1)}
-        print("ROW:" + json.dumps(row), flush=True)
+    fus.fit_volume(max(0, iters - 110))
+    r = fus.evaluate(imgs[:2], depths[:2], c2ws[:2], intrs[:2],
+                     max_views=2)
+    row = {"encoding": enc, "iters": iters,
+           "psnr": round(r["psnr"], 2),
+           "depth_l1_cm": round(r["depth_l1_cm"], 2),
+           "steps_per_s": round(sps, 1)}
+    print("ROW:" + json.dumps(row), flush=True)
 
 
 def main():
-    """Run each backbone in its OWN process (measured: a hash-grid run
-    following a PE run in one process trips a device fault on the
-    tunneled chip; isolation also keeps the timings clean of each
-    other's jit caches) and write the decision record."""
+    """One child process PER TABLE CELL, with one retry: the tunneled
+    chip sporadically faults ('TPU device error') under sustained
+    hash-gather load, and a fault poisons the whole process -- cell
+    isolation bounds the blast radius to one measurement, and the
+    per-cell retry absorbs the transient."""
     import json
     import subprocess
 
     rows = []
     for enc in ("pe", "hash"):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), enc],
-            capture_output=True, text=True, timeout=2700,
-            cwd=os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))))
-        for line in proc.stdout.splitlines():
-            if line.startswith("ROW:"):
-                row = json.loads(line[4:])
-                rows.append(row)
-                print(row, flush=True)
-        if proc.returncode != 0:
-            print(f"[{enc} run failed rc={proc.returncode}]\n"
-                  + proc.stderr[-2000:], flush=True)
+        for iters in (200, 500, 1000, 2000):
+            for attempt in (1, 2):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), enc,
+                     str(iters)],
+                    capture_output=True, text=True, timeout=1500,
+                    cwd=os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))))
+                got = [json.loads(x[4:]) for x in proc.stdout.splitlines()
+                       if x.startswith("ROW:")]
+                if got:
+                    rows.extend(got)
+                    print(got[-1], flush=True)
+                    break
+                print(f"[{enc}@{iters} attempt {attempt} failed "
+                      f"rc={proc.returncode}]\n" + proc.stderr[-800:],
+                      flush=True)
 
     md = ["# Backbone decision: PE-MLP vs hash grid", "",
           "Measured on one TPU chip, 8 posed synthetic views at "
@@ -140,7 +141,7 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
-        run_encoding(sys.argv[1])
+    if len(sys.argv) > 2:
+        run_cell(sys.argv[1], int(sys.argv[2]))
     else:
         main()

@@ -9,7 +9,12 @@ fused update_n compilations:
   - covariances on/off  -> covariance extraction cost
 """
 import dataclasses
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -90,21 +90,13 @@ def build_frontend(args, image_size):
         # nerf_slam_tpu-native checkpoint (e.g. from
         # scripts/train_droid_synthetic.py)
         from ..utils.checkpoint import load_arrays, unflatten_into
-        template = net.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, H, Wd, 3)),
-            jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
-            jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
-            jnp.array([0]), 1)
+        template = net.init_params(jax.random.PRNGKey(0), H, Wd)
         flat, _ = load_arrays(args.weights)
         params = unflatten_into(template, flat)
     elif args.weights:
         params = W.load_droid_pth(args.weights)
     else:
-        params = net.init(
-            jax.random.PRNGKey(args.seed), jnp.zeros((1, H, Wd, 3)),
-            jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
-            jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
-            jnp.array([0]), 1)
+        params = net.init_params(jax.random.PRNGKey(args.seed), H, Wd)
         print("WARNING: no --weights given; using random network weights "
               "(tracking quality will be poor)")
     stereo = bool(getattr(args, "stereo", False))

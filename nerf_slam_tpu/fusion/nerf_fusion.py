@@ -163,22 +163,11 @@ class NerfFusion:
         device = self.device
         key = jax.random.PRNGKey(self._seed)
         self.params, self.field = init_ngp(key, cfg.ngp)
-        self.opt_state = self.opt.init(self.params)
-        # per-view SE(3) pose deltas (right-perturbation of c2w)
-        self.pose_deltas = jnp.zeros((cfg.buffer, 6), jnp.float32)
-        self.pose_opt_state = self.pose_opt.init(self.pose_deltas)
+        (self.opt_state, self.pose_deltas,
+         self.pose_opt_state, self.train_set) = self._init_state(
+            self.params)
         self.key = jax.random.PRNGKey(self._seed + 1)
         self.iteration = 0
-
-        N, H, W = cfg.buffer, cfg.height, cfg.width
-        self.train_set = TrainSet(
-            c2w=jnp.tile(jnp.eye(4, dtype=jnp.float32), (N, 1, 1)),
-            images=jnp.zeros((N, H, W, 3), jnp.float32),
-            depths=-jnp.ones((N, H, W), jnp.float32),
-            depths_cov=jnp.ones((N, H, W), jnp.float32),
-            gt_depths=-jnp.ones((N, H, W), jnp.float32),
-            intrinsics=jnp.ones((N, 4), jnp.float32),
-            valid=jnp.zeros((N,), jnp.float32))
         self.results = []   # eval rows (iteration, wall_s, psnr, l1)
         self.sigma_thresh = None   # GUI-set absolute masking threshold
         self.has_data = False  # host-side flag (avoids device syncs)
@@ -195,6 +184,26 @@ class NerfFusion:
             self.pose_opt_state = jax.tree.map(put, self.pose_opt_state)
             self.train_set = jax.tree.map(put, self.train_set)
             self.key = put(self.key)
+
+    @partial(jax.jit, static_argnums=0)
+    def _init_state(self, params):
+        """Optimizer states + empty training set in ONE program (each
+        eager jnp.zeros/optax init otherwise compiles its own single-op
+        XLA program -- a first-order cold-warmup cost on the tunnel)."""
+        cfg = self.cfg
+        N, H, W = cfg.buffer, cfg.height, cfg.width
+        # per-view SE(3) pose deltas (right-perturbation of c2w)
+        deltas = jnp.zeros((N, 6), jnp.float32)
+        train_set = TrainSet(
+            c2w=jnp.tile(jnp.eye(4, dtype=jnp.float32), (N, 1, 1)),
+            images=jnp.zeros((N, H, W, 3), jnp.float32),
+            depths=-jnp.ones((N, H, W), jnp.float32),
+            depths_cov=jnp.ones((N, H, W), jnp.float32),
+            gt_depths=-jnp.ones((N, H, W), jnp.float32),
+            intrinsics=jnp.ones((N, 4), jnp.float32),
+            valid=jnp.zeros((N,), jnp.float32))
+        return (self.opt.init(params), deltas,
+                self.pose_opt.init(deltas), train_set)
 
     # ------------------------------------------------------------------
     # data ingestion

@@ -14,6 +14,7 @@ marching (which is divergence-heavy and gather-bound on TPU).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -131,19 +132,26 @@ class NGPParams(NamedTuple):
     mlp: dict             # flax params
 
 
-def init_ngp(key: jax.Array, cfg: NGPConfig):
+@functools.partial(jax.jit, static_argnums=1)
+def _init_ngp_params(key: jax.Array, field) -> "NGPParams":
+    """All field-parameter init in ONE program (eager flax init costs
+    dozens of single-op compiles through a tunneled device)."""
+    cfg = field.cfg
     k1, k2 = jax.random.split(key)
     if cfg.encoding == "pe":
-        field = PEField(cfg)
         mlp = field.init(k1, jnp.full((8, 3), 0.5),
                          jnp.ones((8, 3)) / np.sqrt(3.0))
         table = jnp.zeros((1, 1, 1), jnp.float32)   # placeholder
     else:
-        field = NGPField(cfg)
         mlp = field.init(k1, jnp.zeros((8, cfg.grid.out_dim)),
                          jnp.ones((8, 3)) / np.sqrt(3.0))
         table = init_table(k2, cfg.grid)
-    return NGPParams(table=table, mlp=mlp), field
+    return NGPParams(table=table, mlp=mlp)
+
+
+def init_ngp(key: jax.Array, cfg: NGPConfig):
+    field = PEField(cfg) if cfg.encoding == "pe" else NGPField(cfg)
+    return _init_ngp_params(key, field), field
 
 
 def query(params: NGPParams, field, cfg: NGPConfig,

@@ -42,29 +42,117 @@ button{margin:2px;background:#333;color:#ddd;border:1px solid #666}
 <img id="kf" src="/kf.jpg"><img id="depth" src="/depth.jpg">
 <img id="sigma" src="/sigma.jpg"><img id="render" src="/render.jpg">
 <br><canvas id="traj" width="480" height="480"></canvas>
+<canvas id="scene" width="640" height="480"></canvas>
+<div>3D scene: drag to orbit, wheel to zoom &mdash; point cloud,
+keyframe frusta, pose-covariance ellipsoids (3&sigma;)</div>
 <script>
 function cmd(c){fetch('/cmd?name='+c)}
+// ---- 3D scene state (orbit camera; no dependencies) ----
+let yaw=0.6,pitch=0.4,zoom=1.0,cloud=null,traj=[];
+const sc=document.getElementById('scene');
+sc.onmousedown=e=>{let px=e.clientX,py=e.clientY;
+ const mv=m=>{yaw+=(m.clientX-px)*0.01;pitch+=(m.clientY-py)*0.01;
+  px=m.clientX;py=m.clientY;draw3d();};
+ const up=()=>{window.removeEventListener('mousemove',mv);
+  window.removeEventListener('mouseup',up);};
+ window.addEventListener('mousemove',mv);
+ window.addEventListener('mouseup',up);};
+sc.onwheel=e=>{e.preventDefault();
+ zoom*=Math.exp(-e.deltaY*0.001);draw3d();};
+function rot(p,c){ // world -> view (orbit about cloud centroid c)
+ const x=p[0]-c[0],y=p[1]-c[1],z=p[2]-c[2];
+ const cy=Math.cos(yaw),sy=Math.sin(yaw);
+ const cp=Math.cos(pitch),sp=Math.sin(pitch);
+ const x1=cy*x+sy*z, z1=-sy*x+cy*z;
+ const y1=cp*y-sp*z1, z2=sp*y+cp*z1;
+ return [x1,y1,z2];}
+function prj(v,ext){ // view -> canvas
+ const d=3.0*ext/zoom, f=400*zoom;
+ const z=v[2]+d*1.5;
+ if(z<=0.05)return null;
+ return [320+f*v[0]/z, 240+f*v[1]/z];}
+function center(){
+ if(traj.length){const n=traj.length;let c=[0,0,0];
+  traj.forEach(p=>{c[0]+=p.c2w[0][3]/n;c[1]+=p.c2w[1][3]/n;
+   c[2]+=p.c2w[2][3]/n;});return c;}
+ return [0,0,0];}
+function extent(){
+ let e=1e-3;
+ traj.forEach(p=>{const c=center();for(let i=0;i<3;i++)
+  e=Math.max(e,Math.abs(p.c2w[i][3]-c[i]));});
+ return e*2+0.5;}
+function draw3d(){
+ const g=sc.getContext('2d');
+ g.fillStyle='#111';g.fillRect(0,0,640,480);
+ const c=center(),ext=extent();
+ if(cloud){g.globalAlpha=0.8;
+  for(let i=0;i<cloud.pts.length;i++){
+   const q=prj(rot(cloud.pts[i],c),ext);if(!q)continue;
+   const col=cloud.cols[i];
+   g.fillStyle='rgb('+col[0]+','+col[1]+','+col[2]+')';
+   g.fillRect(q[0],q[1],2,2);}
+  g.globalAlpha=1.0;}
+ // camera frusta (reference draws LineSet camera actors,
+ // open3d_gui.py:215-221) + 3-sigma covariance ellipses
+ // (reference ellipsoid actors, open3d_gui.py:590-616)
+ const s=ext*0.04;
+ traj.forEach((p,k)=>{
+  const M=p.c2w;
+  const tf=v=>[M[0][0]*v[0]+M[0][1]*v[1]+M[0][2]*v[2]+M[0][3],
+               M[1][0]*v[0]+M[1][1]*v[1]+M[1][2]*v[2]+M[1][3],
+               M[2][0]*v[0]+M[2][1]*v[1]+M[2][2]*v[2]+M[2][3]];
+  const o=tf([0,0,0]);
+  const corners=[[-s,-s,2*s],[s,-s,2*s],[s,s,2*s],[-s,s,2*s]]
+   .map(v=>tf(v));
+  g.strokeStyle=k===traj.length-1?'#ff0':'#4af';g.beginPath();
+  corners.forEach((q,i)=>{
+   const a=prj(rot(o,c),ext),b=prj(rot(q,c),ext),
+    d2=prj(rot(corners[(i+1)%4],c),ext);
+   if(a&&b){g.moveTo(a[0],a[1]);g.lineTo(b[0],b[1]);}
+   if(b&&d2){g.moveTo(b[0],b[1]);g.lineTo(d2[0],d2[1]);}});
+  g.stroke();
+  if(p.cov_radii&&p.cov_axes){ // 3 principal ellipse circles
+   g.strokeStyle='rgba(255,100,100,0.7)';
+   for(let a1=0;a1<3;a1++){const a2=(a1+1)%3;
+    g.beginPath();let first=true;
+    for(let t=0;t<=16;t++){const th=t/16*2*Math.PI;
+     // radii are already 3-sigma (utils/viz.py pose_cov_ellipsoid)
+     const r1=p.cov_radii[a1],r2=p.cov_radii[a2];
+     const v=[0,1,2].map(i=>o[i]
+      +r1*Math.cos(th)*p.cov_axes[i][a1]
+      +r2*Math.sin(th)*p.cov_axes[i][a2]);
+     const q=prj(rot(v,c),ext);if(!q){first=true;continue;}
+     if(first){g.moveTo(q[0],q[1]);first=false;}
+     else g.lineTo(q[0],q[1]);}
+    g.stroke();}}});
+ }
 async function tick(){
  try{
   const s=await (await fetch('/state.json')).json();
   document.getElementById('stats').textContent=JSON.stringify(s.stats);
   for(const id of['kf','depth','sigma','render'])
    document.getElementById(id).src='/'+id+'.jpg?t='+Date.now();
+  traj=s.trajectory||[];
   const c=document.getElementById('traj').getContext('2d');
   c.fillStyle='#111';c.fillRect(0,0,480,480);
-  const tr=s.trajectory||[];
+  const tr=traj;
   if(tr.length){
    const xs=tr.map(p=>p.c2w[0][3]),zs=tr.map(p=>p.c2w[2][3]);
    const mx=Math.min(...xs),Mx=Math.max(...xs)+1e-6;
    const mz=Math.min(...zs),Mz=Math.max(...zs)+1e-6;
-   const sc=440/Math.max(Mx-mx,Mz-mz);
+   const scl=440/Math.max(Mx-mx,Mz-mz);
    c.strokeStyle='#4af';c.beginPath();
-   tr.forEach((p,i)=>{const x=20+(p.c2w[0][3]-mx)*sc,
-    y=20+(p.c2w[2][3]-mz)*sc;i?c.lineTo(x,y):c.moveTo(x,y)});
+   tr.forEach((p,i)=>{const x=20+(p.c2w[0][3]-mx)*scl,
+    y=20+(p.c2w[2][3]-mz)*scl;i?c.lineTo(x,y):c.moveTo(x,y)});
    c.stroke();}
+  draw3d();
  }catch(e){}
  setTimeout(tick,1000);}
-tick();
+async function cloudTick(){
+ try{cloud=await (await fetch('/cloud.json')).json();draw3d();}
+ catch(e){}
+ setTimeout(cloudTick,5000);}
+tick();cloudTick();
 </script></body></html>"""
 
 
@@ -84,6 +172,7 @@ class LiveViewer:
         self._lock = threading.Lock()
         self._jpgs: Dict[str, bytes] = {}
         self._cloud: Optional[bytes] = None
+        self._cloud_json: Optional[bytes] = None
         self._stats: Dict[str, Any] = {}
         self._http_cmds = []
         viewer = self
@@ -118,6 +207,13 @@ class LiveViewer:
                         self._send(404, "text/plain", b"not yet")
                     else:
                         self._send(200, "application/octet-stream", data)
+                elif u.path == "/cloud.json":
+                    with viewer._lock:
+                        data = viewer._cloud_json
+                    if data is None:
+                        self._send(404, "text/plain", b"not yet")
+                    else:
+                        self._send(200, "application/json", data)
                 elif u.path == "/cmd":
                     q = parse_qs(u.query)
                     name = (q.get("name") or [""])[0]
@@ -206,6 +302,7 @@ class LiveViewer:
                 np.uint8) if r.dtype != np.uint8 else r)
 
         cloud = None
+        cloud_json = None
         if packet.get("is_last_frame") or self.gui.n_packets % 10 == 0:
             pts, cols = backproject_packet(packet, self.gui.sigma_thresh,
                                            stride=4)
@@ -225,6 +322,13 @@ class LiveViewer:
                     f"{int(c[0])} {int(c[1])} {int(c[2])}\n"
                     for p, c in zip(pts[sel], cols[sel]))
                 cloud = (header + rows).encode()
+                # downsampled cloud for the in-browser 3D scene canvas
+                k = min(pts.shape[0], 12000)
+                sj = np.random.RandomState(1).choice(
+                    pts.shape[0], k, replace=False)
+                cloud_json = json.dumps({
+                    "pts": np.round(pts[sj], 3).tolist(),
+                    "cols": cols[sj].astype(int).tolist()}).encode()
 
         stats = {"n_keyframes": int(np.asarray(
             packet["viz_idx"])[nv - 1]) + 1, "n_packets":
@@ -233,4 +337,6 @@ class LiveViewer:
             self._jpgs.update(jpgs)
             if cloud is not None:
                 self._cloud = cloud
+            if cloud_json is not None:
+                self._cloud_json = cloud_json
             self._stats = stats

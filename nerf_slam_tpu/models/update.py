@@ -183,6 +183,26 @@ class DroidNet(nn.Module):
     def aggregate(self, net, seg, n_seg, axis_name=None):
         return self.update_net.aggregate(net, seg, n_seg, axis_name)
 
+    def init_params(self, key, H: int, W: int):
+        """Parameter init under ONE jitted program.  Eager flax init
+        dispatches every layer's rng/conv as its own single-op XLA
+        program (~150 compiles, minutes of cold warmup on a tunneled
+        device); jitting collapses them into one."""
+        import functools
+
+        h, w = H // 8, W // 8
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def _init(net, key):
+            return net.init(key, jnp.zeros((1, H, W, 3)),
+                            jnp.zeros((1, h, w, 128)),
+                            jnp.zeros((1, h, w, 128)),
+                            jnp.zeros((1, h, w, 196)),
+                            jnp.zeros((1, h, w, 4)),
+                            jnp.array([0]), 1)
+
+        return _init(self, key)
+
     def __call__(self, images, net, inp, corr, flow, seg, n_seg):
         """init-shape driver (used for parameter initialization only)."""
         f = self.features(images)

@@ -178,7 +178,13 @@ def lookup_pyramid_pallas_nhwc(levels, coords: jax.Array,
 
     slab_unit = sum(W1 * r8(v.shape[-2]) * r128(v.shape[-1]) * 2
                     for v in levels)
-    R = max(1, min(H1, (4 * 1024 * 1024) // max(slab_unit, 1)))
+    # the out block pays TPU tile padding on its two minor dims
+    # ((_NSUP, _NSUP) -> (8, 128)); omitting it from the row budget
+    # blew the 16 MB scoped-vmem limit at small H1 where many rows fit
+    # the volume budget (seen at 168x320: R=7 -> 16.41 MB)
+    out_unit = W1 * 4 * r8(_NSUP) * r128(_NSUP) * 4
+    R = max(1, min(H1, (14 * 1024 * 1024)
+                   // max(2 * (slab_unit + out_unit), 1)))
     while R > 1 and H1 % R:
         R -= 1
 
@@ -294,7 +300,8 @@ def lookup_pyramid_l0_nhwc(vol0: jax.Array, coords: jax.Array,
     # stack at ~40 KB per pixel (one-hots + f32/bf16 row buffers x 4
     # levels); budget slab (double-buffered) + temporaries <= ~11 MB
     slab_unit = W1 * r8(H2p) * r128(W2) * 2
-    per_row = 2 * slab_unit + W1 * 40 * 1024
+    out_unit = W1 * 4 * r8(_NSUP) * r128(_NSUP) * 4   # tile-padded out
+    per_row = 2 * slab_unit + W1 * 40 * 1024 + out_unit
     R = max(1, min(H1, (11 * 1024 * 1024) // max(per_row, 1)))
     while R > 1 and H1 % R:
         R -= 1
@@ -497,10 +504,13 @@ def lookup_pyramid_grouped4_nhwc(levels, coords: jax.Array, dims,
     def r128(n):
         return -(-n // 128) * 128
 
-    # VMEM: all four slabs (double-buffered) + group temporaries
+    # VMEM: all four slabs (double-buffered) + group temporaries + the
+    # tile-padded out block ((_NSUP, _NSUP) minor dims pad to (8, 128))
     slab_unit = sum(W1 * lv.shape[-2] * r128(lv.shape[-1]) * 2
                     for lv in levels)
-    R = max(1, min(H1, (8 * 1024 * 1024) // max(2 * slab_unit, 1)))
+    out_unit = W1 * 4 * 8 * 128 * 4
+    R = max(1, min(H1, (13 * 1024 * 1024)
+                   // max(2 * (slab_unit + out_unit), 1)))
     while R > 1 and H1 % R:
         R -= 1
 

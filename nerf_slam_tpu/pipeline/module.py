@@ -26,6 +26,7 @@ class PipelineModule(ABC):
         self.name = name
         self.parallel_run = parallel_run
         self.shutdown = False
+        self.failed = False       # spin_once raised; see runner checks
         self.is_initialized = False
         self.input_queues: Dict[str, "queue.Queue"] = {}
         self.output_queues: List["queue.Queue"] = []
@@ -111,6 +112,7 @@ class PipelineModule(ABC):
                 out = self.spin_once(pkt)
             except Exception:
                 traceback.print_exc()
+                self.failed = True
                 for cb in self.on_failure_callbacks:
                     cb()
                 self.shutdown_module()

@@ -34,6 +34,13 @@ def run_sequential(modules: List[PipelineModule],
         for m in modules:
             if not m.shutdown:
                 m.spin()
+        if any(m.failed for m in modules):
+            # a crashed stage starves its consumers forever; fail the
+            # run instead of spinning the survivors indefinitely
+            for m in modules:
+                m.shutdown_module()
+            bad = [m.name for m in modules if m.failed]
+            raise RuntimeError(f"pipeline stage(s) failed: {bad}")
         spins += 1
         if max_spins is not None and spins >= max_spins:
             break
@@ -51,11 +58,23 @@ def run_parallel(modules: List[PipelineModule],
         t.start()
     t0 = time.time()
     # a source shutting down cascades: when a module with no consumers
-    # left sees is_last_frame it shuts down; we simply join with timeout
-    for t in threads:
-        remaining = None
-        if timeout_s is not None:
-            remaining = max(0.1, timeout_s - (time.time() - t0))
-        t.join(timeout=remaining)
+    # left sees is_last_frame it shuts down.  Poll-join so a CRASHED
+    # stage (m.failed) tears the whole pipeline down instead of starving
+    # its consumers until the timeout.
+    alive = list(threads)
+    while alive:
+        for t in list(alive):
+            t.join(timeout=0.25)
+            if not t.is_alive():
+                alive.remove(t)
+        if any(m.failed for m in modules):
+            for m in modules:
+                m.shutdown_module()
+            for t in alive:
+                t.join(timeout=5.0)
+            bad = [m.name for m in modules if m.failed]
+            raise RuntimeError(f"pipeline stage(s) failed: {bad}")
+        if timeout_s is not None and time.time() - t0 > timeout_s:
+            break
     for m in modules:
         m.shutdown_module()

@@ -221,16 +221,23 @@ class RaftVisualFrontend:
         self._synced_after_dispatch = True
         self.graph = graphlib.CovisibilityGraph(
             max_factors=cfg.max_factors)
-        self.state = self._alloc_buffers()
-        self.edges = self._alloc_edges()
-        self.inactive = InactiveState(
-            flow=jnp.zeros((cfg.e_inactive, self.h, self.w, 2)),
-            flow_weight=jnp.zeros((cfg.e_inactive, self.h, self.w, 2)))
+        self.state, self.edges, self.inactive = self._alloc_all()
         self.viz_idx = np.zeros(cfg.buffer, dtype=bool)
 
     # ------------------------------------------------------------------
     # allocation
     # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def _alloc_all(self):
+        """All state buffers in ONE program: ~25 eager jnp.zeros/tile
+        calls each compile a single-op XLA program otherwise (cold-
+        warmup cost on a tunneled device; also one compile per test)."""
+        cfg = self.cfg
+        inactive = InactiveState(
+            flow=jnp.zeros((cfg.e_inactive, self.h, self.w, 2)),
+            flow_weight=jnp.zeros((cfg.e_inactive, self.h, self.w, 2)))
+        return self._alloc_buffers(), self._alloc_edges(), inactive
+
     def _alloc_buffers(self) -> KeyframeState:
         cfg = self.cfg
         B, H, W, h, w = cfg.buffer, self.H, self.W, self.h, self.w

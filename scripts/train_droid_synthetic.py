@@ -102,11 +102,7 @@ def main():
     h, w = H // 8, W // 8
     N = args.frames
     net = DroidNet(dtype=jnp.bfloat16)
-    params = net.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
-        jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
-        jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
-        jnp.array([0]), 1)
+    params = net.init_params(jax.random.PRNGKey(0), H, W)
 
     # radius-3 neighborhood, matching the frontend's __initialize graph
     ii, jj = [], []
@@ -151,11 +147,7 @@ def main():
         flat, _ = load_arrays(args.out)
         params_loaded = unflatten_into(params, flat)
         ate_trained = run_tracking_ate(params_loaded)
-        rnd = net.init(
-            jax.random.PRNGKey(7), jnp.zeros((1, H, W, 3)),
-            jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
-            jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
-            jnp.array([0]), 1)
+        rnd = net.init_params(jax.random.PRNGKey(7), H, W)
         ate_random = run_tracking_ate(rnd)
         print(f"ATE-RMSE held-out synthetic: trained {ate_trained:.4f} m"
               f" vs random-init {ate_random:.4f} m", flush=True)

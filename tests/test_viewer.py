@@ -71,5 +71,19 @@ def test_viewer_serves_stream_and_commands(tmp_path):
         viewer.visualize(pkt)
         status, body = _get(viewer.port, "/cloud.ply")
         assert status == 200 and body.startswith(b"ply")
+
+        # 3D scene data: downsampled cloud JSON + trajectory entries
+        # carry the covariance ellipsoid fields the scene canvas draws
+        # (reference camera/ellipsoid actors, open3d_gui.py:215-221,
+        # :590-616)
+        status, body = _get(viewer.port, "/cloud.json")
+        cj = json.loads(body)
+        assert status == 200 and len(cj["pts"]) == len(cj["cols"]) > 0
+        assert len(cj["pts"][0]) == 3
+        _, body = _get(viewer.port, "/state.json")
+        tr = json.loads(body)["trajectory"]
+        assert "cov_radii" in tr[0] and "cov_axes" in tr[0]
+        _, page = _get(viewer.port, "/")
+        assert b'id="scene"' in page and b"cov_radii" in page
     finally:
         viewer.close()
