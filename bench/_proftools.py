@@ -2,6 +2,12 @@
 inputs vary every call, outputs reduce to one scalar INSIDE the jit
 (so big results never accumulate on device), and synchronization pulls
 a single scalar per batch."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -30,7 +30,12 @@ def build(encoding: str, H: int, W: int, n: int):
                                         finest_resolution=1024))
     cfg = NerfFusionConfig(buffer=n, height=H, width=W,
                            batch_rays=4096, ngp=ngp, iters_per_spin=10,
-                           scale=0.2, offset=(0.5, 0.5, 0.25))
+                           scale=0.2, offset=(0.5, 0.5, 0.25),
+                           # small render programs for BOTH encodings
+                           # (identical eval protocol): the hash
+                           # backbone's 40-row render programs trip a
+                           # device fault on the tunneled chip
+                           render_rows_per_chunk=8)
     return NerfFusion(cfg, seed=0)
 
 

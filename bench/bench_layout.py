@@ -1,5 +1,11 @@
 """Which slab layout can the TPU actually stream?  Sum-only kernels over
 candidate correlation-slab layouts at frontend sizes."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 
 import numpy as np

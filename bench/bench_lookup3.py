@@ -1,6 +1,12 @@
 """Lookup benchmark with a data-dependency chain: each call consumes the
 previous output, so the device must execute them sequentially; one D2H
 sync at the end.  RTT measured separately and subtracted."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 import numpy as np
 

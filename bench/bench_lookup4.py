@@ -14,6 +14,12 @@ RTT_MS = None
 
 def measure_rtt():
     """Tunnel round-trip: block_until_ready is optimistic through axon,
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
     so all timing fetches a scalar; subtract the fetch round-trip."""
     global RTT_MS
     x = jnp.ones((8,))

@@ -2,6 +2,12 @@
 sizes (E=48, 42x80): a stripped Pallas kernel that only streams the four
 slabs (sum-reduce, no selects) bounds what ANY slab-streaming lookup can
 achieve; compare against the production grouped4 kernel."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import functools
 import time
 

@@ -5,6 +5,12 @@ the remote tunnel dedupes identical dispatches and its
 block_until_ready does not force execution, which silently turns
 naive microbenchmarks into dispatch-latency measurements.
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -5,6 +5,12 @@ the graph is warm, then times each jitted segment (encode, motion
 filter, edge refresh, fused update_n, distance, viz gather) and the NGP
 train step.  Prints a ms-per-call table.
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -3,6 +3,12 @@
 Inputs vary per rep (the tunnel dedupes identical dispatches; see
 _proftools).
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp

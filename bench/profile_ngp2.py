@@ -89,3 +89,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))

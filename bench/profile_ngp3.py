@@ -1,5 +1,11 @@
 """NGP train-step cost via the real fit_volume path (state evolves, so
 the tunnel cannot dedupe; donation and arg-passing as in production)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 
 import numpy as np

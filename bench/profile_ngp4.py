@@ -1,5 +1,11 @@
 """Steady-state fit_volume cost: repeated same-size calls (production
 pattern: FusionModule calls fit_volume(iters_per_spin) every spin)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 
 import numpy as np

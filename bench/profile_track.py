@@ -1,5 +1,11 @@
 """Wall time per keyframe for the tracking frontend alone (no fusion),
 with a per-segment breakdown from a second instrumented pass."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 
 import numpy as np

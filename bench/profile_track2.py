@@ -4,6 +4,12 @@ Wraps each jitted entry point with a block_until_ready timer.  Blocking
 at stage boundaries adds tunnel RTT per stage, so the per-stage numbers
 are upper bounds; the unsynced pass gives the true total.
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 from collections import defaultdict
 

@@ -6,6 +6,12 @@ fetches one scalar from its output, so a stage's time = (device queue
 drain up to that output) + ~28 ms RTT.  Subtract the RTT per stage for
 device-time estimates; the unsynced pass gives the true total.
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import time
 from collections import defaultdict
 

@@ -110,6 +110,10 @@ class NerfFusionConfig:
     # interval, so renders spend `render_samples` samples on the
     # occupied span instead of 128 spread over [near, far]
     render_accel: bool = True
+    # rows per render program; smaller chunks shrink the per-dispatch
+    # program (the hash backbone's full-size render programs trip a
+    # device fault on the tunneled chip)
+    render_rows_per_chunk: int = 40
     occ_res: int = 64                 # occupancy grid resolution
     occ_thresh: float = 4.0           # sigma threshold (normalized units)
     occ_refresh_every: int = 200      # refresh grid every N train iters
@@ -166,7 +170,14 @@ class NerfFusion:
         (self.opt_state, self.pose_deltas,
          self.pose_opt_state, self.train_set) = self._init_state(
             self.params)
-        self.key = jax.random.PRNGKey(self._seed + 1)
+        # rbg PRNG for the per-step sampling streams: threefry key
+        # derivation + uniforms measured ~3 ms of every ~17 ms train
+        # step on the chip (bench/profile_ngp5.py); rbg is the fast
+        # TPU-native generator and splits preserve the impl
+        try:
+            self.key = jax.random.key(self._seed + 1, impl="rbg")
+        except TypeError:       # older jax without impl kwarg
+            self.key = jax.random.PRNGKey(self._seed + 1)
         self.iteration = 0
         self.results = []   # eval rows (iteration, wall_s, psnr, l1)
         self.sigma_thresh = None   # GUI-set absolute masking threshold
@@ -745,7 +756,7 @@ class NerfFusion:
                 acc.reshape(n, w))
 
     def _render_normalized(self, c2w_n: np.ndarray, intrinsics,
-                           rows_per_chunk: int = 40, scale: int = 1):
+                           rows_per_chunk: int = 0, scale: int = 1):
         """Render at a pose already in the normalized map frame.
         ``scale`` > 1 renders at (H/s, W/s) and upsamples (dynamic
         render resolution).  Returns (srgb rgb [H,W,3] in [0,1], depth
@@ -755,6 +766,8 @@ class NerfFusion:
         h = (H + scale - 1) // scale
         w = (W + scale - 1) // scale
         intr = np.asarray(intrinsics, np.float32) / scale
+        if rows_per_chunk <= 0:
+            rows_per_chunk = cfg.render_rows_per_chunk
         rows_per_chunk = min(rows_per_chunk, h)
         accel = cfg.render_accel and self.iteration > 0
         occ = self._ensure_occ() if accel else None
@@ -808,7 +821,7 @@ class NerfFusion:
         return 4
 
     def render_image(self, c2w_world: np.ndarray, intrinsics: np.ndarray,
-                     rows_per_chunk: int = 40):
+                     rows_per_chunk: int = 0):
         """Full-frame render at a world-frame c2w pose.  Returns
         (rgb srgb [H,W,3], depth world-units [H,W])."""
         cfg = self.cfg
@@ -819,7 +832,7 @@ class NerfFusion:
             scale=self._pick_render_scale())
         return rgb, depth / cfg.scale
 
-    def render_training_view(self, i: int, rows_per_chunk: int = 40):
+    def render_training_view(self, i: int, rows_per_chunk: int = 0):
         """Render at training view i's (refined) pose, in the map frame
         (reference set_camera_to_training_view, nerf_fusion.py:411)."""
         ts = self.train_set

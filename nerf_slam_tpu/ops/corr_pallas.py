@@ -376,9 +376,29 @@ def _make_grouped4_kernel(dims, gated: bool = False):
         per_row = W1 // G
         n_groups = R * per_row
         r = _RD // 2
+        vrefs = (v0_ref, v1_ref, v2_ref, v3_ref)
 
         def io3(shape, dim):
             return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+        # group-invariant index/mask constants, built ONCE per program
+        # (rebuilding them inside the group loop was ~40% of the
+        # kernel's VPU work; Mosaic does not hoist them)
+        consts = []
+        for lvl, vref in enumerate(vrefs):
+            H2p, W2 = vref.shape[-2:]
+            GH = G * H2p
+            colY = io3((G, 8, GH), 2)
+            same_p = (colY // H2p) == io3((G, 8, GH), 0)
+            Yv = colY % H2p
+            bY = io3((G, 8, GH), 1)
+            colX = io3((G, 8, W2), 2)
+            aX = io3((G, 8, W2), 1)
+            consts.append((same_p, Yv, bY, colX, aX))
+        bd = ((io3((G * 8, G * 8), 0) // 8)
+              == (io3((G * 8, G * 8), 1) // 8)).astype(jnp.float32)
+        SEL = (io3((G * 8, 8), 0) % 8
+               == io3((G * 8, 8), 1)).astype(jnp.float32)
 
         def body(g, _):
             r_idx = g // per_row
@@ -387,10 +407,11 @@ def _make_grouped4_kernel(dims, gated: bool = False):
             x0 = pix_ref[0, r_idx, sl, 0:1]          # (G, 1)
             y0 = pix_ref[0, r_idx, sl, 1:2]
 
-            for lvl, vref in enumerate((v0_ref, v1_ref, v2_ref, v3_ref)):
+            for lvl, vref in enumerate(vrefs):
                 Hl, Wl = dims[lvl]
                 _, _, _, H2p, W2 = vref.shape
                 GH = G * H2p
+                same_p, Yv, bY, colX, aX = consts[lvl]
                 inv = 1.0 / (2 ** lvl)
                 xl = x0 * inv
                 yl = y0 * inv
@@ -410,10 +431,7 @@ def _make_grouped4_kernel(dims, gated: bool = False):
                 #                               + dy[Y==yi+b+1]), Y < Hl
                 yiB = jax.lax.broadcast_in_dim(yi, (G, 8, GH), (0, 1))
                 dyB = jax.lax.broadcast_in_dim(dy, (G, 8, GH), (0, 1))
-                colY = io3((G, 8, GH), 2)
-                same_p = (colY // H2p) == io3((G, 8, GH), 0)
-                Yv = colY % H2p
-                t1 = yiB + io3((G, 8, GH), 1)
+                t1 = yiB + bY
                 w1 = jnp.where((Yv == t1) & (t1 < Hl) & same_p,
                                1.0 - dyB, 0.0)
                 w2 = jnp.where((Yv == t1 + 1) & (t1 + 1 < Hl) & same_p,
@@ -429,8 +447,7 @@ def _make_grouped4_kernel(dims, gated: bool = False):
                 #                                 + dx[X==xi+a+1], X < Wl
                 xiB = jax.lax.broadcast_in_dim(xi, (G, 8, W2), (0, 1))
                 dxB = jax.lax.broadcast_in_dim(dx, (G, 8, W2), (0, 1))
-                colX = io3((G, 8, W2), 2)
-                s1 = xiB + io3((G, 8, W2), 1)
+                s1 = xiB + aX
                 u1 = jnp.where((colX == s1) & (s1 < Wl), 1.0 - dxB, 0.0)
                 u2 = jnp.where((colX == s1 + 1) & (s1 + 1 < Wl), dxB,
                                0.0)
@@ -442,11 +459,7 @@ def _make_grouped4_kernel(dims, gated: bool = False):
                     rows, OHX,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (G*8, G*8)
-                rowp = io3((G * 8, G * 8), 0) // 8
-                colp = io3((G * 8, G * 8), 1) // 8
-                Mbd = M * (rowp == colp).astype(jnp.float32)
-                SEL = (io3((G * 8, 8), 0) % 8 == io3((G * 8, 8), 1)
-                       ).astype(jnp.float32)
+                Mbd = M * bd
                 S = jax.lax.dot_general(
                     Mbd, SEL,
                     dimension_numbers=(((1,), (0,)), ((), ())),

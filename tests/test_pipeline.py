@@ -75,3 +75,47 @@ def test_pipeline_end_to_end(parallel):
     assert results["n_keyframes"] >= 5
     assert "ate_rmse_m" in results
     assert np.isfinite(results["ate_rmse_m"])
+
+
+@pytest.mark.parametrize("parallel", [False, True])
+def test_pipeline_stage_failure_tears_down(parallel):
+    """A stage whose spin_once raises must fail the whole run instead of
+    starving its consumers until a timeout (a crashed SLAM stage
+    previously left fusion training forever)."""
+    from nerf_slam_tpu.pipeline.module import PipelineModule
+    from nerf_slam_tpu.pipeline.runner import (connect, run_parallel,
+                                               run_sequential)
+
+    class Source(PipelineModule):
+        def __init__(self):
+            super().__init__("src", parallel)
+            self.n = 0
+
+        def spin_once(self, _):
+            self.n += 1
+            if self.n > 50:
+                self.shutdown_module()
+            return {"k": self.n}
+
+    class Boom(PipelineModule):
+        def spin_once(self, packet):
+            raise ValueError("boom")
+
+    class Sink(PipelineModule):
+        def spin_once(self, packet):
+            return packet   # never sees is_last_frame: would spin forever
+
+    src = Source()
+    boom = Boom("boom", parallel)
+    sink = Sink("sink", parallel, input_timeout=1e-3)
+    connect(src, boom, "data")
+    connect(boom, sink, "data")
+    import time
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="boom"):
+        if parallel:
+            run_parallel([src, boom, sink], timeout_s=30.0)
+        else:
+            run_sequential([src, boom, sink])
+    assert time.time() - t0 < 20.0
+    assert boom.failed and all(m.shutdown for m in (src, boom, sink))
