@@ -31,11 +31,14 @@ def build(encoding: str, H: int, W: int, n: int):
     cfg = NerfFusionConfig(buffer=n, height=H, width=W,
                            batch_rays=4096, ngp=ngp, iters_per_spin=10,
                            scale=0.2, offset=(0.5, 0.5, 0.25),
-                           # small render programs for BOTH encodings
-                           # (identical eval protocol): the hash
-                           # backbone's 40-row render programs trip a
-                           # device fault on the tunneled chip
-                           render_rows_per_chunk=8)
+                           # identical eval protocol for both encodings,
+                           # sized for the tunneled chip: small render
+                           # programs, and no occupancy-accelerated
+                           # rendering (the hash backbone's occupancy
+                           # build -- 262k hash queries in one program --
+                           # trips a device fault)
+                           render_rows_per_chunk=8,
+                           render_accel=False)
     return NerfFusion(cfg, seed=0)
 
 

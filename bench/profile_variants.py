@@ -97,6 +97,7 @@ def main():
     variants = [
         ("baseline", dict()),
         ("skip_lookup", dict(debug_skip_lookup=True)),
+        ("cheap_lookup", dict(debug_skip_lookup="cheap")),
         ("skip_gru", dict(debug_skip_gru=True)),
         ("skip_dba", dict(debug_skip_dba=True)),
         ("gn1", dict(gn_iters=1)),

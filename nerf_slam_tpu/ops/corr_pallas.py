@@ -381,20 +381,30 @@ def _make_grouped4_kernel(dims, gated: bool = False):
         def io3(shape, dim):
             return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
-        # group-invariant index/mask constants, built ONCE per program
-        # (rebuilding them inside the group loop was ~40% of the
-        # kernel's VPU work; Mosaic does not hoist them)
+        # group-invariant index/mask constants, built ONCE per program.
+        # The weighted one-hots are EXACT bilinear hats:
+        #   OHY[(p,b), (p2,Y)] = [p2==p][Y<Hl] relu(1 - |Y - (yi+b+dy)|)
+        # (weight (1-dy) lands on Y==yi+b and dy on Y==yi+b+1, zero
+        # elsewhere -- identical to the two-tap eq/where construction
+        # but ~half the VPU ops, which dominate this kernel)
         consts = []
         for lvl, vref in enumerate(vrefs):
+            Hl, _ = dims[lvl]
             H2p, W2 = vref.shape[-2:]
             GH = G * H2p
             colY = io3((G, 8, GH), 2)
-            same_p = (colY // H2p) == io3((G, 8, GH), 0)
             Yv = colY % H2p
-            bY = io3((G, 8, GH), 1)
+            mY = (((colY // H2p) == io3((G, 8, GH), 0))
+                  & (Yv < Hl)).astype(jnp.float32)
+            # Yv + b folded into one float constant per (b, Y) cell
+            ybase = Yv.astype(jnp.float32) \
+                - io3((G, 8, GH), 1).astype(jnp.float32)
+            Wl = dims[lvl][1]
             colX = io3((G, 8, W2), 2)
-            aX = io3((G, 8, W2), 1)
-            consts.append((same_p, Yv, bY, colX, aX))
+            mX = (colX < Wl).astype(jnp.float32)
+            xbase = colX.astype(jnp.float32) \
+                - io3((G, 8, W2), 1).astype(jnp.float32)
+            consts.append((mY, ybase, mX, xbase))
         bd = ((io3((G * 8, G * 8), 0) // 8)
               == (io3((G * 8, G * 8), 1) // 8)).astype(jnp.float32)
         SEL = (io3((G * 8, 8), 0) % 8
@@ -411,7 +421,7 @@ def _make_grouped4_kernel(dims, gated: bool = False):
                 Hl, Wl = dims[lvl]
                 _, _, _, H2p, W2 = vref.shape
                 GH = G * H2p
-                same_p, Yv, bY, colX, aX = consts[lvl]
+                mY, ybase, mX, xbase = consts[lvl]
                 inv = 1.0 / (2 ** lvl)
                 xl = x0 * inv
                 yl = y0 * inv
@@ -419,39 +429,34 @@ def _make_grouped4_kernel(dims, gated: bool = False):
                 fy = jnp.floor(yl)
                 dx = xl - fx
                 dy = yl - fy
-                xi = jnp.clip(fx.astype(jnp.int32) - r, -_NSUP,
-                              Wl + _NSUP)
-                yi = jnp.clip(fy.astype(jnp.int32) - r, -_NSUP,
-                              Hl + _NSUP)
+                xi = jnp.clip(fx - r, -float(_NSUP), float(Wl + _NSUP))
+                yi = jnp.clip(fy - r, -float(_NSUP), float(Hl + _NSUP))
 
                 V = vref[0, r_idx, sl].reshape(GH, W2)   # bf16
 
-                # weighted y-hot, block-diagonal over pixels:
-                # OHY[(p,b), (p2,Y)] = [p2==p] * ((1-dy)[Y==yi+b]
-                #                               + dy[Y==yi+b+1]), Y < Hl
-                yiB = jax.lax.broadcast_in_dim(yi, (G, 8, GH), (0, 1))
-                dyB = jax.lax.broadcast_in_dim(dy, (G, 8, GH), (0, 1))
-                t1 = yiB + bY
-                w1 = jnp.where((Yv == t1) & (t1 < Hl) & same_p,
-                               1.0 - dyB, 0.0)
-                w2 = jnp.where((Yv == t1 + 1) & (t1 + 1 < Hl) & same_p,
-                               dyB, 0.0)
-                OHY = (w1 + w2).astype(jnp.bfloat16).reshape(G * 8, GH)
+                # y-hot as a hat around y* = yi + b + dy (see consts);
+                # NaN coords must select NOTHING (the eq-based
+                # construction returned zeros for NaN) -- push them far
+                # out before broadcasting (cheap: (G, 1) scalars)
+                ystar = jax.lax.broadcast_in_dim(
+                    jnp.nan_to_num(yi + dy, nan=-1e4), (G, 8, GH),
+                    (0, 1))
+                OHY = (jnp.maximum(
+                    1.0 - jnp.abs(ybase - ystar), 0.0) * mY) \
+                    .astype(jnp.bfloat16).reshape(G * 8, GH)
 
                 rows = jax.lax.dot_general(
                     OHY, V, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32
                 ).astype(jnp.bfloat16)               # ((p,b), W2)
 
-                # weighted x-hot: OHX[(p2,a), X] = (1-dx)[X==xi+a]
-                #                                 + dx[X==xi+a+1], X < Wl
-                xiB = jax.lax.broadcast_in_dim(xi, (G, 8, W2), (0, 1))
-                dxB = jax.lax.broadcast_in_dim(dx, (G, 8, W2), (0, 1))
-                s1 = xiB + aX
-                u1 = jnp.where((colX == s1) & (s1 < Wl), 1.0 - dxB, 0.0)
-                u2 = jnp.where((colX == s1 + 1) & (s1 + 1 < Wl), dxB,
-                               0.0)
-                OHX = (u1 + u2).astype(jnp.bfloat16).reshape(G * 8, W2)
+                # x-hot hat around x* = xi + a + dx
+                xstar = jax.lax.broadcast_in_dim(
+                    jnp.nan_to_num(xi + dx, nan=-1e4), (G, 8, W2),
+                    (0, 1))
+                OHX = (jnp.maximum(
+                    1.0 - jnp.abs(xbase - xstar), 0.0) * mX) \
+                    .astype(jnp.bfloat16).reshape(G * 8, W2)
 
                 # M[(p,b), (p2,a)]; the block diagonal (p2 == p) is the
                 # live part, folded out with a masked matmul
@@ -518,7 +523,9 @@ def lookup_pyramid_grouped4_nhwc(levels, coords: jax.Array, dims,
         return -(-n // 128) * 128
 
     # VMEM: all four slabs (double-buffered) + group temporaries + the
-    # tile-padded out block ((_NSUP, _NSUP) minor dims pad to (8, 128))
+    # tile-padded out block ((_NSUP, _NSUP) minor dims pad to (8, 128);
+    # flattening to (W1, 256) would kill the padding but Mosaic cannot
+    # shape-cast (G, 8, 8) -> (G, 64) across sublane/lane tiles)
     slab_unit = sum(W1 * lv.shape[-2] * r128(lv.shape[-1]) * 2
                     for lv in levels)
     out_unit = W1 * 4 * 8 * 128 * 4

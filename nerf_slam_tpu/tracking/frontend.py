@@ -704,7 +704,13 @@ class RaftVisualFrontend:
             motion = jnp.concatenate(
                 [coords1 - coords0, flow - coords1], axis=-1)
             motion = jnp.clip(motion, -64.0, 64.0)
-            if cfg.debug_skip_lookup:
+            if cfg.debug_skip_lookup == "cheap":
+                # non-foldable stand-in: isolates the LOOKUP's own cost
+                # (zeros let XLA constant-fold the corr encoder away,
+                # over-attributing their cost to the lookup)
+                cvals = jnp.broadcast_to(motion[..., :1] * 0.01,
+                                         (Ea, h, w, 196))
+            elif cfg.debug_skip_lookup:
                 cvals = jnp.zeros((Ea, h, w, 196))
             else:
                 cvals = lookup_nhwc(coords1)
