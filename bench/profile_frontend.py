@@ -114,15 +114,19 @@ def main():
         L = pa["pair_a"].shape[0]
         packed = dba.pack_plan(pa, Ea + Ei, cfg.p_window, cfg.k_depth, L)
         prefix = np.zeros(fe._prefix_len(), np.int32)
+        # tail layout (frontend._update_core): [n_iters, n_iters2, thr,
+        # mthr, ingest_slot, seed_slot, d_a, d_b, seed_next, t_g,
+        # kf0_g, kf1_g]
         return jnp.asarray(np.concatenate(
             [prefix, packed,
-             np.array([n_iters, -1, 0, 1, -1, 0, 0, -1], np.int32)]))
+             np.array([n_iters, 0, 0, 0, 0, -1, 0, 1, -1, 0, 0, -1],
+                      np.int32)]))
 
     import jax.tree_util as jtu
 
     def run_update(n_iters):
         pk = mk_packed(n_iters)
-        s, e, ia, rms, _, _, _ = fe._update_n(fe.params, fe.state,
+        s, e, ia, rms, _, _, _, _ = fe._update_n(fe.params, fe.state,
                                               fe.edges, fe.inactive, pk)
         fe.state, fe.edges, fe.inactive = s, e, ia
         return rms

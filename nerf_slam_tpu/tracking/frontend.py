@@ -475,10 +475,12 @@ class RaftVisualFrontend:
                 state.intrinsics[sel])
 
     # the hot fused step ------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 6, 7), donate_argnums=(2, 3, 4))
+    @partial(jax.jit, static_argnums=(0, 6, 7, 8),
+             donate_argnums=(2, 3, 4))
     def _update_n(self, params, state: KeyframeState, edges: EdgeState,
                   inactive: InactiveState, packed_plan,
                   light: bool = False, two_phase: bool = False,
+                  with_motion: bool = False,
                   img_u8=None, gt16=None, small=None, img1_u8=None):
         """Dispatch the fused update: single-device, or shard_map'd over
         the edge axis of a device mesh (cfg.edge_shards > 1).
@@ -507,7 +509,8 @@ class RaftVisualFrontend:
                 ingest = (img_u8, gt16, small, img1_u8)
             return self._update_core(params, state, edges, inactive,
                                      packed_plan, light, None,
-                                     two_phase=two_phase, ingest=ingest)
+                                     two_phase=two_phase, ingest=ingest,
+                                     with_motion=with_motion)
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -516,7 +519,8 @@ class RaftVisualFrontend:
                 pa, st, ed, ia, pp, light, "edge"),
             mesh=self.mesh,
             in_specs=(P(), P(), P("edge"), P("edge"), P()),
-            out_specs=(P(), P("edge"), P("edge"), P(), P(), P(), P()),
+            out_specs=(P(), P("edge"), P("edge"), P(), P(), P(), P(),
+                       P()),
             check_rep=False)
         return fn(params, state, edges, inactive, packed_plan)
 
@@ -565,7 +569,8 @@ class RaftVisualFrontend:
     def _update_core(self, params, state: KeyframeState,
                      edges: EdgeState, inactive: InactiveState,
                      packed_plan, light: bool, axis,
-                     two_phase: bool = False, ingest=None):
+                     two_phase: bool = False, ingest=None,
+                     with_motion: bool = False):
         """n_iters fused GRU+DBA iterations over the active graph.
 
         Equivalent to calling visual_frontend.update() (:370-470) n times,
@@ -598,9 +603,10 @@ class RaftVisualFrontend:
         PRE = self._prefix_len()
         prefix = packed_plan[:PRE]
         viz_sel = prefix[PRE - 1 - self.V_VIZ:PRE - 1]
-        n_iters = packed_plan[-11]
-        n_iters2 = packed_plan[-10]       # accept-branch iters (two_phase)
-        thr_x1024 = packed_plan[-9]       # keyframe_thresh * 1024
+        n_iters = packed_plan[-12]
+        n_iters2 = packed_plan[-11]       # accept-branch iters (two_phase)
+        thr_x1024 = packed_plan[-10]      # keyframe_thresh * 1024
+        mthr_x1024 = packed_plan[-9]      # motion_filter_thresh * 1024
         ingest_slot = packed_plan[-8]     # fused-ingest store slot
         seed_slot = packed_plan[-7]       # sensed-depth seed slot (-1: off)
         d_a = packed_plan[-6]             # keyframe-distance pair, computed
@@ -609,16 +615,27 @@ class RaftVisualFrontend:
         t_g = packed_plan[-3]             # prox-prefetch grid scalars
         kf0_g = packed_plan[-2]
         kf1_g = packed_plan[-1]           # -1: prefetch off
+        mag = jnp.zeros((), jnp.float32)
         if ingest is not None:
             # fused frame ingest: normalize + encode + store runs inside
             # THIS dispatch (new edges touching the incoming keyframe
-            # read state.features after the store below)
+            # read state.features after the store below); with_motion
+            # additionally computes the motion-filter magnitude against
+            # the last keyframe BEFORE the store, and the whole tracking
+            # body below is lax.cond-gated on it -- a production frame
+            # costs ONE dispatch and ONE sync total
             img_u8, gt16, small_arr, img1_u8 = ingest
             image_norm = self._normalize_dev(img_u8)
             f_in = self.net.apply(params, image_norm,
                                   method=DroidNet.features)[0]
             c_in, ci_in = self.net.apply(params, image_norm,
                                          method=DroidNet.context)
+            if with_motion:
+                last_kf = small_arr[22].astype(jnp.int32)
+                mag = self._motion_mag_inline(
+                    params, state.features[last_kf].astype(jnp.float32),
+                    f_in, state.contexts[last_kf],
+                    state.cst_contexts[last_kf])
             f1_in = None
             if cfg.stereo and img1_u8 is not None:
                 f1_in = self.net.apply(params,
@@ -627,10 +644,7 @@ class RaftVisualFrontend:
             state = self._store_frame_body(
                 state, ingest_slot, img_u8, gt16.astype(jnp.float32),
                 small_arr, f_in, c_in[0], ci_in[0], f1_in)
-        if axis is None:
-            edges, inactive = self._maintenance(state, edges, inactive,
-                                                prefix)
-        plan = dba.unpack_plan(packed_plan[PRE:-11], Ea + cfg.e_inactive,
+        plan = dba.unpack_plan(packed_plan[PRE:-12], Ea + cfg.e_inactive,
                                cfg.p_window, cfg.k_depth)
         if axis is not None:
             # edge-sharded execution (shard_map): localize the plan's
@@ -658,272 +672,295 @@ class RaftVisualFrontend:
                 edge_valid=both(plan.edge_valid),
                 pair_a=None, pair_b=None, pair_valid=None)
             Ea = ea_l
-        # active-edge views (slot-aligned prefix of the plan)
-        ii_act = plan.ii[:Ea]
-        jj_act = plan.jj[:Ea]
-        edge_on = plan.edge_valid[:Ea]
-        seg = jnp.where(plan.edge_valid[:Ea] > 0, plan.kk[:Ea], -1)
-        K = plan.kx.shape[0]
-        coords0 = camera.coords_grid(h, w)
-        if cfg.corr_impl == "pallas4g":
-            # grouped weighted-hot kernel over 4 pooled slabs: measured
-            # ~5x the single-slab variant (MXU-shaped block-diagonal
-            # selects; bilinear folded into the one-hots).  Active edges
-            # occupy the slot prefix, so the kernel skips compute + DMA
-            # for padded slots (n_act gating) -- the lookup cost scales
-            # with the LIVE graph, not the static capacity.
-            dims = corr_pallas.pyramid_dims(h, w)
-            n_act = jnp.sum(edge_on > 0).astype(jnp.int32)
-            lookup_nhwc = lambda c: corr_pallas.lookup_pyramid_grouped4_nhwc(
-                edges.corr_levels, c, dims, n_act=n_act)
-        elif cfg.corr_impl == "pallas":
-            # single-slab path: levels 1-3 are derived from level 0
-            # inside the kernel (pooling commutes with sampling)
-            dims = corr_pallas.pyramid_dims(h, w)
-            lookup_nhwc = lambda c: corr_pallas.lookup_pyramid_l0_nhwc(
-                edges.corr_levels[0], c, dims)
-        elif cfg.corr_impl == "pallas_grouped":
-            cp = corr_pallas.CorrPyramidPallas(
-                list(edges.corr_levels), grouped=True)
-            lookup_nhwc = cp.nhwc
-        else:
-            cp = corr.CorrPyramid(list(edges.corr_levels))
-            lookup_nhwc = lambda c: cp(c).transpose(0, 2, 3, 1)
-        on = edge_on[:, None, None, None]
-        ctx_inp = state.cst_contexts[ii_act]
-        sens_k = state.idepths_sensed[plan.kx]
-
-        stereo_rel = self._stereo_rel()
-
-        def one_iter(carry):
-            i, poses, disps, hidden, flow, flow_w, damping = carry
-
-            coords1, _, _ = camera.projective_transform(
-                poses, disps, state.intrinsics, ii_act, jj_act,
-                stereo_rel=stereo_rel)
-            motion = jnp.concatenate(
-                [coords1 - coords0, flow - coords1], axis=-1)
-            motion = jnp.clip(motion, -64.0, 64.0)
-            if cfg.debug_skip_lookup == "cheap":
-                # non-foldable stand-in: isolates the LOOKUP's own cost
-                # (zeros let XLA constant-fold the corr encoder away,
-                # over-attributing their cost to the lookup)
-                cvals = jnp.broadcast_to(motion[..., :1] * 0.01,
-                                         (Ea, h, w, 196))
-            elif cfg.debug_skip_lookup:
-                cvals = jnp.zeros((Ea, h, w, 196))
+        def _body(op):
+            """The whole tracking body (maintenance -> iterations
+            -> exports), cond-gated on the on-device motion filter
+            when with_motion (a rejected frame skips all of it)."""
+            state, edges, inactive = op
+            if axis is None:
+                edges, inactive = self._maintenance(state, edges,
+                                                    inactive, prefix)
+            # active-edge views (slot-aligned prefix of the plan)
+            ii_act = plan.ii[:Ea]
+            jj_act = plan.jj[:Ea]
+            edge_on = plan.edge_valid[:Ea]
+            seg = jnp.where(plan.edge_valid[:Ea] > 0, plan.kk[:Ea], -1)
+            K = plan.kx.shape[0]
+            coords0 = camera.coords_grid(h, w)
+            if cfg.corr_impl == "pallas4g":
+                # grouped weighted-hot kernel over 4 pooled slabs: measured
+                # ~5x the single-slab variant (MXU-shaped block-diagonal
+                # selects; bilinear folded into the one-hots).  Active edges
+                # occupy the slot prefix, so the kernel skips compute + DMA
+                # for padded slots (n_act gating) -- the lookup cost scales
+                # with the LIVE graph, not the static capacity.
+                dims = corr_pallas.pyramid_dims(h, w)
+                n_act = jnp.sum(edge_on > 0).astype(jnp.int32)
+                lookup_nhwc = lambda c: corr_pallas.lookup_pyramid_grouped4_nhwc(
+                    edges.corr_levels, c, dims, n_act=n_act)
+            elif cfg.corr_impl == "pallas":
+                # single-slab path: levels 1-3 are derived from level 0
+                # inside the kernel (pooling commutes with sampling)
+                dims = corr_pallas.pyramid_dims(h, w)
+                lookup_nhwc = lambda c: corr_pallas.lookup_pyramid_l0_nhwc(
+                    edges.corr_levels[0], c, dims)
+            elif cfg.corr_impl == "pallas_grouped":
+                cp = corr_pallas.CorrPyramidPallas(
+                    list(edges.corr_levels), grouped=True)
+                lookup_nhwc = cp.nhwc
             else:
-                cvals = lookup_nhwc(coords1)
+                cp = corr.CorrPyramid(list(edges.corr_levels))
+                lookup_nhwc = lambda c: cp(c).transpose(0, 2, 3, 1)
+            on = edge_on[:, None, None, None]
+            ctx_inp = state.cst_contexts[ii_act]
+            sens_k = state.idepths_sensed[plan.kx]
 
-            if cfg.debug_skip_gru:
-                hidden2 = hidden + cvals[..., :128].astype(hidden.dtype) \
-                    + motion[..., :1].astype(hidden.dtype)
-                delta = hidden2[..., :2].astype(jnp.float32)
-                weight = 0.5 * jnp.ones((Ea, h, w, 2))
-                eta = 0.01 * jnp.ones((K, h, w))
-            else:
-                hidden2, delta, weight, eta = self.net.apply(
-                    params, hidden, ctx_inp,
-                    cvals.astype(jnp.bfloat16),
-                    motion.astype(jnp.bfloat16),
-                    seg, K, False, axis, method=DroidNet.update)
+            stereo_rel = self._stereo_rel()
 
-            flow = jnp.where(on > 0, coords1 + delta, flow)
-            flow_w = jnp.where(on > 0, weight, flow_w)
-            hidden = jnp.where(on > 0, hidden2, hidden)
+            def one_iter(carry):
+                i, poses, disps, hidden, flow, flow_w, damping = carry
 
-            # damping buffer scatter (visual_frontend.py:411);
-            # invalid (padded) kx rows are dropped, never written
-            damping = dba.kx_scatter(damping, plan.kx, plan.k_valid,
-                                     eta)
+                coords1, _, _ = camera.projective_transform(
+                    poses, disps, state.intrinsics, ii_act, jj_act,
+                    stereo_rel=stereo_rel)
+                motion = jnp.concatenate(
+                    [coords1 - coords0, flow - coords1], axis=-1)
+                motion = jnp.clip(motion, -64.0, 64.0)
+                if cfg.debug_skip_lookup == "cheap":
+                    # non-foldable stand-in: isolates the LOOKUP's own cost
+                    # (zeros let XLA constant-fold the corr encoder away,
+                    # over-attributing their cost to the lookup)
+                    cvals = jnp.broadcast_to(motion[..., :1] * 0.01,
+                                             (Ea, h, w, 196))
+                elif cfg.debug_skip_lookup:
+                    cvals = jnp.zeros((Ea, h, w, 196))
+                else:
+                    cvals = lookup_nhwc(coords1)
 
-            targets = jnp.concatenate([flow, inactive.flow], axis=0)
-            weights = jnp.concatenate([flow_w, inactive.flow_weight],
-                                      axis=0)
-            eta_k = cfg.damping_scale * damping[plan.kx] \
-                + cfg.damping_offset
-            if cfg.debug_skip_dba:
-                poses = poses + 1e-9 * jnp.sum(targets)
-                disps = disps + 1e-9 * jnp.sum(weights)
-            else:
-                res = dba.dba_iterations(
-                    poses, disps, state.intrinsics, targets, weights,
-                    eta_k, sens_k, plan, iters=cfg.gn_iters, ep=cfg.ep,
-                    lm=cfg.lm, compute_covariances=False,
-                    with_final=False, stereo_rel=stereo_rel,
-                    axis_name=axis)
-                poses, disps = res.poses, res.disps
-            return (i + 1, poses, disps, hidden, flow, flow_w,
-                    damping)
+                if cfg.debug_skip_gru:
+                    hidden2 = hidden + cvals[..., :128].astype(hidden.dtype) \
+                        + motion[..., :1].astype(hidden.dtype)
+                    delta = hidden2[..., :2].astype(jnp.float32)
+                    weight = 0.5 * jnp.ones((Ea, h, w, 2))
+                    eta = 0.01 * jnp.ones((K, h, w))
+                else:
+                    hidden2, delta, weight, eta = self.net.apply(
+                        params, hidden, ctx_inp,
+                        cvals.astype(jnp.bfloat16),
+                        motion.astype(jnp.bfloat16),
+                        seg, K, False, axis, method=DroidNet.update)
 
-        # sensed-depth seeding of the new keyframe's inverse depths
-        # (visual_frontend.py's pre-update seed), folded into this jit
-        B = state.idepths.shape[0]
-        sm = (jnp.arange(B) == seed_slot)[:, None, None]
-        idepths0 = jnp.where(sm & (state.idepths_sensed > 0),
-                             state.idepths_sensed, state.idepths)
+                flow = jnp.where(on > 0, coords1 + delta, flow)
+                flow_w = jnp.where(on > 0, weight, flow_w)
+                hidden = jnp.where(on > 0, hidden2, hidden)
 
-        carry = (jnp.zeros((), jnp.int32), state.cam_T_world,
-                 idepths0, edges.hidden, edges.flow,
-                 edges.flow_weight, state.damping)
-        carry = jax.lax.while_loop(lambda c: c[0] < n_iters, one_iter,
-                                   carry)
+                # damping buffer scatter (visual_frontend.py:411);
+                # invalid (padded) kx rows are dropped, never written
+                damping = dba.kx_scatter(damping, plan.kx, plan.k_valid,
+                                         eta)
 
-        # keyframe-rejection distance on the updated state, fused here so
-        # the host's accept/reject branch costs no extra dispatch
-        kf_dist = camera.frame_distance_bidirectional(
-            carry[1], carry[2], state.intrinsics, d_a[None], d_b[None],
-            cfg.beta)[0]
-
-        def light_out(carry):
-            # pre-rejection variant (and the two_phase reject branch):
-            # poses/disps/edge state only -- an accepting update
-            # recomputes covariances, upsampling, viz
-            _, poses, disps, hidden, flow, flow_w, damping = carry
-            st_l = state._replace(cam_T_world=poses, idepths=disps,
-                                  damping=damping)
-            ed_l = edges._replace(hidden=hidden, flow=flow,
-                                  flow_weight=flow_w,
-                                  corr_levels=edges.corr_levels)
-            zero = jnp.zeros((), disps.dtype)
-            # two_phase gathers the full viz selection for cond-branch
-            # shape parity with full_out (discarded by the host on
-            # reject); the plain light variant keeps the empty gather
-            sel = viz_sel if two_phase else viz_sel[:0]
-            return (st_l, ed_l, inactive, zero, kf_dist,
-                    jnp.full((_PF_SI * _PF_SJ,), 1e6, disps.dtype),
-                    self._gather_viz_body(st_l, sel))
-
-        def full_out(carry):
-            _, poses, disps, hidden, flow, flow_w, damping = carry
-            # final linearization: covariances + diagnostics
-            targets = jnp.concatenate([flow, inactive.flow], axis=0)
-            weights = jnp.concatenate([flow_w, inactive.flow_weight],
-                                      axis=0)
-            eta_k = cfg.damping_scale * damping[plan.kx] \
+                targets = jnp.concatenate([flow, inactive.flow], axis=0)
+                weights = jnp.concatenate([flow_w, inactive.flow_weight],
+                                          axis=0)
+                eta_k = cfg.damping_scale * damping[plan.kx] \
                     + cfg.damping_offset
-            blocks = dba.linearize(poses, disps, state.intrinsics,
-                                   targets, weights, plan,
-                                   stereo_rel=stereo_rel)
-            Hd, vd, Ehat, C, wv = dba.assemble(blocks, plan, disps,
-                                               eta_k, sens_k,
-                                               axis_name=axis)
-            if cfg.compute_covariances:
-                eb = (blocks[2] if cfg.schur_impl == "sparse"
-                      and axis is None else None)
-                _, _, L, Q = dba.solve_system(Hd, vd, Ehat, C, wv, plan,
-                                              cfg.ep, cfg.lm,
-                                              E_blocks=eb)
-                pose_cov_p, z_cov = dba.covariances(L, Ehat, Q, plan)
-                z_cov = z_cov.reshape(K, h, w)
-            else:
-                pose_cov_p = jnp.tile(1e-4 * jnp.eye(6),
-                                      (plan.px.shape[0], 1, 1))
-                z_cov = jnp.ones((K, h, w))
+                if cfg.debug_skip_dba:
+                    poses = poses + 1e-9 * jnp.sum(targets)
+                    disps = disps + 1e-9 * jnp.sum(weights)
+                else:
+                    res = dba.dba_iterations(
+                        poses, disps, state.intrinsics, targets, weights,
+                        eta_k, sens_k, plan, iters=cfg.gn_iters, ep=cfg.ep,
+                        lm=cfg.lm, compute_covariances=False,
+                        with_final=False, stereo_rel=stereo_rel,
+                        axis_name=axis)
+                    poses, disps = res.poses, res.disps
+                return (i + 1, poses, disps, hidden, flow, flow_w,
+                        damping)
 
-            coords1, valid, _ = camera.projective_transform(
-                poses, disps, state.intrinsics, plan.ii, plan.jj,
-                stereo_rel=stereo_rel)
-            r = (targets - coords1) * valid \
-                * plan.edge_valid[:, None, None, None]
-            num = jnp.sum(r * r)
-            den = jnp.sum(valid) * 2.0
-            if axis is not None:
-                num, den = jax.lax.psum((num, den), axis)
-            flow_rms = jnp.sqrt(num / jnp.maximum(den, 1.0))
+            # sensed-depth seeding of the new keyframe's inverse depths
+            # (visual_frontend.py's pre-update seed), folded into this jit
+            B = state.idepths.shape[0]
+            sm = (jnp.arange(B) == seed_slot)[:, None, None]
+            idepths0 = jnp.where(sm & (state.idepths_sensed > 0),
+                                 state.idepths_sensed, state.idepths)
 
-            # covariance export (touched keyframes only)
-            px_safe = jnp.where(plan.p_valid > 0, plan.px,
-                                state.pose_cov.shape[0])
-            pose_cov = state.pose_cov.at[px_safe].set(
-                _cov_droid_to_gtsam(pose_cov_p), mode="drop")
-            idepths_cov = dba.kx_scatter(state.idepths_cov, plan.kx,
-                                         plan.k_valid, z_cov)
-            d4 = jnp.maximum(disps[plan.kx], 1e-3) ** 4
-            depths_cov_k = z_cov / d4
-            depths_cov = dba.kx_scatter(state.depths_cov, plan.kx,
-                                        plan.k_valid, depths_cov_k)
+            carry = (jnp.zeros((), jnp.int32), state.cam_T_world,
+                     idepths0, edges.hidden, edges.flow,
+                     edges.flow_weight, state.damping)
+            carry = jax.lax.while_loop(lambda c: c[0] < n_iters, one_iter,
+                                       carry)
 
-            # convex upsampling of idepths + depth covs (:444-446), using
-            # the upmask from the final hidden state
-            _, upmask = self.net.apply(params, hidden, seg, K, axis,
-                                       method=DroidNet.aggregate)
-            um = upmask.transpose(0, 3, 1, 2).reshape(K, 576, h, w)
-            up_d = upsample.upsample_disp(disps[plan.kx], um)
-            up_c = upsample.upsample_disp(depths_cov_k, um, pow=1.0)
-            idepths_up = dba.kx_scatter(state.idepths_up, plan.kx,
-                                        plan.k_valid, up_d)
-            depths_cov_up = dba.kx_scatter(state.depths_cov_up, plan.kx,
-                                           plan.k_valid, up_c)
+            # keyframe-rejection distance on the updated state, fused here so
+            # the host's accept/reject branch costs no extra dispatch
+            kf_dist = camera.frame_distance_bidirectional(
+                carry[1], carry[2], state.intrinsics, d_a[None], d_b[None],
+                cfg.beta)[0]
 
-            st1 = state._replace(
-                cam_T_world=poses, idepths=disps, damping=damping,
-                pose_cov=pose_cov, idepths_cov=idepths_cov,
-                depths_cov=depths_cov, idepths_up=idepths_up,
-                depths_cov_up=depths_cov_up)
+            def light_out(carry):
+                # pre-rejection variant (and the two_phase reject branch):
+                # poses/disps/edge state only -- an accepting update
+                # recomputes covariances, upsampling, viz
+                _, poses, disps, hidden, flow, flow_w, damping = carry
+                st_l = state._replace(cam_T_world=poses, idepths=disps,
+                                      damping=damping)
+                ed_l = edges._replace(hidden=hidden, flow=flow,
+                                      flow_weight=flow_w,
+                                      corr_levels=edges.corr_levels)
+                zero = jnp.zeros((), disps.dtype)
+                # two_phase gathers the full viz selection for cond-branch
+                # shape parity with full_out (discarded by the host on
+                # reject); the plain light variant keeps the empty gather
+                sel = viz_sel if two_phase else viz_sel[:0]
+                return (st_l, ed_l, inactive, zero, kf_dist,
+                        jnp.full((_PF_SI * _PF_SJ,), 1e6, disps.dtype),
+                        self._gather_viz_body(st_l, sel))
 
-            # next-keyframe seeding (visual_frontend.py:620-635), fused:
-            # copy keyframe sn-1's state into slot sn (idepths seeded
-            # with the source map's mean)
-            B = st1.cam_T_world.shape[0]
-            sn = seed_next
-            src = jnp.clip(sn - 1, 0, B - 1)
-            m = ((jnp.arange(B) == sn) & (sn >= 0))
+            def full_out(carry):
+                _, poses, disps, hidden, flow, flow_w, damping = carry
+                # final linearization: covariances + diagnostics
+                targets = jnp.concatenate([flow, inactive.flow], axis=0)
+                weights = jnp.concatenate([flow_w, inactive.flow_weight],
+                                          axis=0)
+                eta_k = cfg.damping_scale * damping[plan.kx] \
+                        + cfg.damping_offset
+                blocks = dba.linearize(poses, disps, state.intrinsics,
+                                       targets, weights, plan,
+                                       stereo_rel=stereo_rel)
+                Hd, vd, Ehat, C, wv = dba.assemble(blocks, plan, disps,
+                                                   eta_k, sens_k,
+                                                   axis_name=axis)
+                if cfg.compute_covariances:
+                    eb = (blocks[2] if cfg.schur_impl == "sparse"
+                          and axis is None else None)
+                    _, _, L, Q = dba.solve_system(Hd, vd, Ehat, C, wv, plan,
+                                                  cfg.ep, cfg.lm,
+                                                  E_blocks=eb)
+                    pose_cov_p, z_cov = dba.covariances(L, Ehat, Q, plan)
+                    z_cov = z_cov.reshape(K, h, w)
+                else:
+                    pose_cov_p = jnp.tile(1e-4 * jnp.eye(6),
+                                          (plan.px.shape[0], 1, 1))
+                    z_cov = jnp.ones((K, h, w))
 
-            def seed(buf, val):
-                shape = (B,) + (1,) * (buf.ndim - 1)
-                return jnp.where(m.reshape(shape), val, buf)
+                coords1, valid, _ = camera.projective_transform(
+                    poses, disps, state.intrinsics, plan.ii, plan.jj,
+                    stereo_rel=stereo_rel)
+                r = (targets - coords1) * valid \
+                    * plan.edge_valid[:, None, None, None]
+                num = jnp.sum(r * r)
+                den = jnp.sum(valid) * 2.0
+                if axis is not None:
+                    num, den = jax.lax.psum((num, den), axis)
+                flow_rms = jnp.sqrt(num / jnp.maximum(den, 1.0))
 
-            st2 = st1._replace(
-                cam_T_world=seed(st1.cam_T_world, st1.cam_T_world[src]),
-                pose_cov=seed(st1.pose_cov, st1.pose_cov[src]),
-                idepths=seed(st1.idepths, st1.idepths[src].mean()),
-                idepths_cov=seed(st1.idepths_cov, st1.idepths_cov[src]),
-                depths_cov=seed(st1.depths_cov, st1.depths_cov[src]),
-                intrinsics=seed(st1.intrinsics, st1.intrinsics[src]))
+                # covariance export (touched keyframes only)
+                px_safe = jnp.where(plan.p_valid > 0, plan.px,
+                                    state.pose_cov.shape[0])
+                pose_cov = state.pose_cov.at[px_safe].set(
+                    _cov_droid_to_gtsam(pose_cov_p), mode="drop")
+                idepths_cov = dba.kx_scatter(state.idepths_cov, plan.kx,
+                                             plan.k_valid, z_cov)
+                d4 = jnp.maximum(disps[plan.kx], 1e-3) ** 4
+                depths_cov_k = z_cov / d4
+                depths_cov = dba.kx_scatter(state.depths_cov, plan.kx,
+                                            plan.k_valid, depths_cov_k)
 
-            # proximity-grid prefetch for the NEXT keyframe, computed on
-            # the seeded state (replaces a separate distance dispatch)
-            iis = kf0_g + jnp.arange(_PF_SI)
-            jjs = kf1_g + jnp.arange(_PF_SJ)
-            ii_g = jnp.repeat(iis, _PF_SJ)
-            jj_g = jnp.tile(jjs, _PF_SI)
-            ok = ((ii_g >= 0) & (ii_g < t_g) & (jj_g >= 0)
-                  & (jj_g < t_g) & (kf1_g >= 0))
-            ii_s = jnp.clip(ii_g, 0, B - 1)
-            jj_s = jnp.clip(jj_g, 0, B - 1)
-            prox_d = camera.frame_distance_bidirectional(
-                st2.cam_T_world, st2.idepths, st2.intrinsics, ii_s,
-                jj_s, cfg.beta)
-            prox_d = jnp.where(ok, prox_d, 1e6)
+                # convex upsampling of idepths + depth covs (:444-446), using
+                # the upmask from the final hidden state
+                _, upmask = self.net.apply(params, hidden, seg, K, axis,
+                                           method=DroidNet.aggregate)
+                um = upmask.transpose(0, 3, 1, 2).reshape(K, 576, h, w)
+                up_d = upsample.upsample_disp(disps[plan.kx], um)
+                up_c = upsample.upsample_disp(depths_cov_k, um, pow=1.0)
+                idepths_up = dba.kx_scatter(state.idepths_up, plan.kx,
+                                            plan.k_valid, up_d)
+                depths_cov_up = dba.kx_scatter(state.depths_cov_up, plan.kx,
+                                               plan.k_valid, up_c)
 
-            ed2 = edges._replace(hidden=hidden, flow=flow,
-                                 flow_weight=flow_w,
-                                 corr_levels=edges.corr_levels)
-            # fused viz-packet gather of the FINAL state (before next-kf
-            # seeding would not matter -- seeding writes future slots)
-            viz = self._gather_viz_body(st2, viz_sel)
-            return st2, ed2, inactive, flow_rms, kf_dist, prox_d, viz
+                st1 = state._replace(
+                    cam_T_world=poses, idepths=disps, damping=damping,
+                    pose_cov=pose_cov, idepths_cov=idepths_cov,
+                    depths_cov=depths_cov, idepths_up=idepths_up,
+                    depths_cov_up=depths_cov_up)
 
-        if light:
-            return light_out(carry)
-        if not two_phase:
-            return full_out(carry)
+                # next-keyframe seeding (visual_frontend.py:620-635), fused:
+                # copy keyframe sn-1's state into slot sn (idepths seeded
+                # with the source map's mean)
+                B = st1.cam_T_world.shape[0]
+                sn = seed_next
+                src = jnp.clip(sn - 1, 0, B - 1)
+                m = ((jnp.arange(B) == sn) & (sn >= 0))
 
-        # two-phase: the accept/reject decision runs ON DEVICE.  Accept
-        # (kf_dist >= keyframe_thresh) continues with iters2 more
-        # GRU+DBA iterations and the full export tail; reject stops at
-        # the light state (the host then rolls the keyframe away,
-        # visual_frontend.py:611-616).  One dispatch either way.
-        def accept_fn(c):
-            c = (jnp.zeros((), jnp.int32),) + c[1:]
-            c = jax.lax.while_loop(lambda cc: cc[0] < n_iters2,
-                                   one_iter, c)
-            return full_out(c)
+                def seed(buf, val):
+                    shape = (B,) + (1,) * (buf.ndim - 1)
+                    return jnp.where(m.reshape(shape), val, buf)
 
-        thresh = thr_x1024.astype(jnp.float32) / 1024.0
-        return jax.lax.cond(kf_dist >= thresh, accept_fn, light_out,
-                            carry)
+                st2 = st1._replace(
+                    cam_T_world=seed(st1.cam_T_world, st1.cam_T_world[src]),
+                    pose_cov=seed(st1.pose_cov, st1.pose_cov[src]),
+                    idepths=seed(st1.idepths, st1.idepths[src].mean()),
+                    idepths_cov=seed(st1.idepths_cov, st1.idepths_cov[src]),
+                    depths_cov=seed(st1.depths_cov, st1.depths_cov[src]),
+                    intrinsics=seed(st1.intrinsics, st1.intrinsics[src]))
+
+                # proximity-grid prefetch for the NEXT keyframe, computed on
+                # the seeded state (replaces a separate distance dispatch)
+                iis = kf0_g + jnp.arange(_PF_SI)
+                jjs = kf1_g + jnp.arange(_PF_SJ)
+                ii_g = jnp.repeat(iis, _PF_SJ)
+                jj_g = jnp.tile(jjs, _PF_SI)
+                ok = ((ii_g >= 0) & (ii_g < t_g) & (jj_g >= 0)
+                      & (jj_g < t_g) & (kf1_g >= 0))
+                ii_s = jnp.clip(ii_g, 0, B - 1)
+                jj_s = jnp.clip(jj_g, 0, B - 1)
+                prox_d = camera.frame_distance_bidirectional(
+                    st2.cam_T_world, st2.idepths, st2.intrinsics, ii_s,
+                    jj_s, cfg.beta)
+                prox_d = jnp.where(ok, prox_d, 1e6)
+
+                ed2 = edges._replace(hidden=hidden, flow=flow,
+                                     flow_weight=flow_w,
+                                     corr_levels=edges.corr_levels)
+                # fused viz-packet gather of the FINAL state (before next-kf
+                # seeding would not matter -- seeding writes future slots)
+                viz = self._gather_viz_body(st2, viz_sel)
+                return st2, ed2, inactive, flow_rms, kf_dist, prox_d, viz
+
+            if light:
+                return light_out(carry)
+            if not two_phase:
+                return full_out(carry)
+
+            # two-phase: the accept/reject decision runs ON DEVICE.  Accept
+            # (kf_dist >= keyframe_thresh) continues with iters2 more
+            # GRU+DBA iterations and the full export tail; reject stops at
+            # the light state (the host then rolls the keyframe away,
+            # visual_frontend.py:611-616).  One dispatch either way.
+            def accept_fn(c):
+                c = (jnp.zeros((), jnp.int32),) + c[1:]
+                c = jax.lax.while_loop(lambda cc: cc[0] < n_iters2,
+                                       one_iter, c)
+                return full_out(c)
+
+            thresh = thr_x1024.astype(jnp.float32) / 1024.0
+            return jax.lax.cond(kf_dist >= thresh, accept_fn, light_out,
+                                carry)
+
+        if not (with_motion and ingest is not None):
+            return _body((state, edges, inactive)) + (mag,)
+
+        def _skip(op):
+            st, ed, ia = op
+            zero = jnp.zeros((), jnp.float32)
+            return (st, ed, ia, zero, zero,
+                    jnp.full((_PF_SI * _PF_SJ,), 1e6, jnp.float32),
+                    self._gather_viz_body(st, viz_sel))
+
+        mthresh = mthr_x1024.astype(jnp.float32) / 1024.0
+        out = jax.lax.cond(mag > mthresh, _body, _skip,
+                           (state, edges, inactive))
+        return out + (mag,)
 
     # ------------------------------------------------------------------
     # host orchestration
@@ -1020,6 +1057,28 @@ class RaftVisualFrontend:
                 np.ascontiguousarray(np.asarray(right)[..., :3]),
                 jnp.uint8)
         return img_dev, gt16, img1
+
+    def _host_snapshot(self):
+        """Host bookkeeping snapshot for the speculative fully-fused
+        frame path: graph edits / pending maintenance / prefetch / viz
+        flags are made ASSUMING the on-device motion filter accepts; a
+        reject restores this snapshot (device state needs no restore --
+        the reject branch returns it untouched except the candidate
+        slot store, which the next frame overwrites)."""
+        import copy
+        return (copy.deepcopy(self.graph),
+                None if self._pending_gather is None
+                else self._pending_gather.copy(),
+                list(self._pending_app), self._pending_app_n_old,
+                self._dist_prefetch, self.viz_idx.copy(),
+                dict(self._host_intrinsics),
+                dict(self.kf_idx_to_f_idx), dict(self.f_idx_to_kf_idx))
+
+    def _host_restore(self, snap):
+        (self.graph, self._pending_gather, self._pending_app,
+         self._pending_app_n_old, self._dist_prefetch, self.viz_idx,
+         self._host_intrinsics, self.kf_idx_to_f_idx,
+         self.f_idx_to_kf_idx) = snap
 
     def _host_frame_bookkeeping(self, slot: int, small: np.ndarray,
                                 batch: Dict[str, Any]):
@@ -1204,13 +1263,18 @@ class RaftVisualFrontend:
                kf_dist_pair: Optional[Tuple[int, int]] = None,
                light: bool = False, seed_next: int = -1,
                prefetch: bool = False, two_phase: bool = False,
-               n_iters2: int = 0, ingest=None):
+               n_iters2: int = 0, ingest=None,
+               with_motion: bool = False):
         """One fused update dispatch.  ``two_phase``: run ``n_iters``,
         decide accept/reject on device (cfg.keyframe_thresh), run
         ``n_iters2`` + exports only on accept.  ``ingest``: a tuple
         (img_u8_dev, gt16_dev, small_np, img1_dev_or_None, slot) whose
         normalize+encode+store rides this dispatch (motion-filter-off
-        keyframes cost ONE dispatch total)."""
+        keyframes cost ONE dispatch total).  ``with_motion`` (requires
+        ingest): the motion-filter magnitude and decision ALSO ride the
+        dispatch -- a rejected frame skips the whole tracking body on
+        device, and the caller restores the speculative host bookkeeping
+        (a production frame then costs ONE dispatch + ONE sync)."""
         cfg = self.cfg
         g = self.graph
         if g.n_edges == 0:
@@ -1297,11 +1361,14 @@ class RaftVisualFrontend:
             if (t_g - kf0_g > _PF_SI or t_g - kf1_g > _PF_SJ
                     or kf0_g < 0):
                 t_g, kf0_g, kf1_g = 0, 0, -1   # grid too big: disable
-        thr = (int(round(cfg.keyframe_thresh * 1024)) if two_phase
-               else 0)
+        imax = 2 ** 31 - 1            # clamp x1024 fixed-point to int32
+        thr = (min(imax, int(round(cfg.keyframe_thresh * 1024)))
+               if two_phase else 0)
+        mthr = (min(imax, int(round(cfg.motion_filter_thresh * 1024)))
+                if with_motion else 0)
         in_slot = ingest[4] if ingest is not None else 0
         packed = np.concatenate([prefix, packed,
-                                 np.array([n_iters, n_iters2, thr,
+                                 np.array([n_iters, n_iters2, thr, mthr,
                                            in_slot, seed_sensed_slot,
                                            da, db, seed_next, t_g,
                                            kf0_g, kf1_g], np.int32)])
@@ -1313,10 +1380,11 @@ class RaftVisualFrontend:
             img_dev = gt16 = small_dev = img1_dev = None
         count_dispatch("update_n")
         (state, edges, inactive, flow_rms, kf_dist, prox_d,
-         viz) = self._update_n(
+         viz, mag) = self._update_n(
             self.params, self.state, self.edges, self.inactive,
-            jnp.asarray(packed), light, two_phase, img_dev, gt16,
-            small_dev, img1_dev)
+            jnp.asarray(packed), light, two_phase, with_motion,
+            img_dev, gt16, small_dev, img1_dev)
+        self.last_motion_mag = mag          # device scalar
         self._synced_after_dispatch = False
         self.state = state
         self.edges = edges
@@ -1551,8 +1619,14 @@ class RaftVisualFrontend:
         with_motion = self.cfg.motion_filter_thresh >= 0
         small = self._pack_small(k, batch)
         img, gt16, img1 = self._frame_uploads(batch)
-        fuse_ingest = (not with_motion and self.is_initialized
-                       and self.mesh is None)
+        # full fusion: ingest + motion decision + two-phase update in
+        # ONE dispatch (host bookkeeping is speculative, restored from a
+        # snapshot on an on-device motion reject)
+        fuse_all = (with_motion and self.is_initialized
+                    and self.mesh is None
+                    and self.cfg.keyframe_thresh >= 0)
+        fuse_ingest = (self.is_initialized and self.mesh is None
+                       and (not with_motion or fuse_all))
         if not fuse_ingest:
             count_dispatch("ingest")
             self.state, mag = self._ingest(
@@ -1569,17 +1643,28 @@ class RaftVisualFrontend:
                         return self.get_viz_out(batch)
                     return None
 
-        self._host_frame_bookkeeping(self.kf_idx, small, batch)
-        self.kf_idx_to_f_idx[self.kf_idx] = k
-        self.f_idx_to_kf_idx[k] = self.kf_idx
-
         if not self.is_initialized:
+            self._host_frame_bookkeeping(self.kf_idx, small, batch)
+            self.kf_idx_to_f_idx[self.kf_idx] = k
+            self.f_idx_to_kf_idx[k] = self.kf_idx
             if self.kf_idx >= cfg.keyframe_warmup:
                 self.__initialize()
         else:
+            snap = self._host_snapshot() if fuse_all else None
+            self._host_frame_bookkeeping(self.kf_idx, small, batch)
+            self.kf_idx_to_f_idx[self.kf_idx] = k
+            self.f_idx_to_kf_idx[k] = self.kf_idx
             ingest = ((img, gt16, small, img1, self.kf_idx)
                       if fuse_ingest else None)
-            if not self.__update(ingest=ingest):
+            ok = self.__update(ingest=ingest, motion_fused=fuse_all)
+            if ok == "motion_reject":
+                self._host_restore(snap)
+                if batch.get("is_last_frame"):
+                    self.kf_idx -= 1
+                    self.terminate()
+                    return self.get_viz_out(batch)
+                return None
+            if not ok:
                 self.rm_keyframe(self.kf_idx - 1)
                 return None
 
@@ -1638,7 +1723,7 @@ class RaftVisualFrontend:
         if nxt < cfg.buffer:
             self._prefetch_proximity()
 
-    def __update(self, ingest=None) -> bool:
+    def __update(self, ingest=None, motion_fused: bool = False):
         cfg = self.cfg
         if self.graph.n_edges:
             self.rm_factors(np.asarray(self.graph.age > cfg.max_age),
@@ -1657,27 +1742,50 @@ class RaftVisualFrontend:
         if ingest is not None and self.graph.n_edges == 0:
             # update() would no-op on an empty graph, dropping the fused
             # ingest -- store the frame through the standalone dispatch
+            # (with the motion magnitude when the decision was fused)
             img_dev, gt16, small_np, img1_dev, slot = ingest
             count_dispatch("ingest")
-            self.state, _ = self._ingest(
+            self.state, mag = self._ingest(
                 self.state, self.params, img_dev, gt16,
-                jnp.asarray(small_np), jnp.int32(slot), False, img1_dev)
+                jnp.asarray(small_np), jnp.int32(slot), motion_fused,
+                img1_dev)
             self._synced_after_dispatch = False
+            if motion_fused:
+                count_sync("motion_mag")
+                self._synced_after_dispatch = True
+                if not float(mag) > cfg.motion_filter_thresh:
+                    return "motion_reject"
             ingest = None
+            motion_fused = False
 
         if cfg.keyframe_thresh >= 0 and self.mesh is None:
             # fused two-phase: iters1, on-device accept/reject, iters2 +
             # exports on accept -- ONE dispatch, ONE sync per keyframe
-            # (the r1-r3 design paid two dispatches here)
+            # (the r1-r3 design paid two dispatches here).  With
+            # motion_fused, the motion-filter decision ALSO rides the
+            # same dispatch (the r4 mid-round design still paid a
+            # separate ingest dispatch + sync per frame).
             ran = self.update(
                 use_inactive=True, n_iters=cfg.iters1,
                 n_iters2=cfg.iters2, two_phase=True,
                 seed_sensed_slot=self.kf_idx,
                 kf_dist_pair=(self.kf_idx - 2, self.kf_idx - 1),
                 seed_next=seed_next, prefetch=seed_next >= 0,
-                ingest=ingest)
+                ingest=ingest, with_motion=motion_fused)
             # gate on the update having actually run: with an empty
             # graph last_kf_dist is stale and must not reject
+            if ran is not None and motion_fused:
+                count_sync("motion_mag")
+                self._synced_after_dispatch = True
+                if not (float(self.last_motion_mag)
+                        > cfg.motion_filter_thresh):
+                    # motion reject: the device skipped the whole body;
+                    # the caller restores speculative host bookkeeping
+                    if self._viz_idx_snapshot is not None:
+                        self.viz_idx = self._viz_idx_snapshot
+                        self._viz_idx_snapshot = None
+                    self._viz_pending = None
+                    return "motion_reject"
             if ran is not None:
                 count_sync("kf_dist")
                 self._synced_after_dispatch = True

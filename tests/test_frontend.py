@@ -91,3 +91,56 @@ def test_global_ba_runs(small_frontend):
     kf = fe.kf_idx
     mean_idepth = disps_after[:kf + 1].mean()
     assert 0.5 < mean_idepth < 1.5, mean_idepth
+
+
+@pytest.mark.slow
+def test_production_policy_fused_motion_filter():
+    """The fully-fused production path: ingest + motion decision +
+    two-phase update in ONE dispatch.  Thresholds at the extremes make
+    both cond branches deterministic: 1e9 rejects every frame (the host
+    snapshot/restore path), 0.0 accepts every frame."""
+    import dataclasses
+
+    H, W = 48, 64
+    net = DroidNet(dtype=jnp.bfloat16)
+    params = net.init_params(jax.random.PRNGKey(0), H, W)
+    cfg = FrontendConfig(
+        buffer=12, e_active=24, e_inactive=16, p_window=12, k_depth=14,
+        keyframe_warmup=4, max_factors=20, motion_filter_thresh=0.0,
+        keyframe_thresh=0.0, iters1=1, iters2=1, gn_iters=1)
+    fe = RaftVisualFrontend(params, cfg, (H, W))
+    ds = SyntheticDataset(SyntheticConfig(n_frames=14, height=H,
+                                          width=W))
+
+    # accept-everything until initialized + a couple of fused keyframes
+    for k in range(7):
+        fe(k, dict(ds[k], k=k))
+    assert fe.is_initialized
+    kf_after_init = fe.kf_idx
+    assert kf_after_init >= 5
+
+    # reject-everything: ON-DEVICE motion rejects; the host snapshot
+    # must restore graph / pending / kf maps each time
+    fe.cfg = dataclasses.replace(fe.cfg, motion_filter_thresh=1e9)
+    g_before = (fe.graph.ii.copy(), fe.graph.jj.copy(),
+                fe.graph.age.copy())
+    maps_before = dict(fe.kf_idx_to_f_idx)
+    for k in range(7, 11):
+        out = fe(k, dict(ds[k], k=k))
+        assert out is None
+    assert fe.kf_idx == kf_after_init
+    np.testing.assert_array_equal(fe.graph.ii, g_before[0])
+    np.testing.assert_array_equal(fe.graph.jj, g_before[1])
+    np.testing.assert_array_equal(fe.graph.age, g_before[2])
+    assert dict(fe.kf_idx_to_f_idx) == maps_before
+
+    # accept again: keyframes resume and the packet contract holds
+    fe.cfg = dataclasses.replace(fe.cfg, motion_filter_thresh=0.0)
+    out = None
+    for k in range(11, 14):
+        out = fe(k, dict(ds[k], k=k,
+                         is_last_frame=(k == 13))) or out
+    assert fe.kf_idx > kf_after_init
+    assert out is not None and "cam0_poses" in out
+    assert np.isfinite(
+        np.asarray(out["cam0_poses"])[: out["viz_count"]]).all()
