@@ -36,6 +36,18 @@ def parse_args(argv=None):
                    help="droid.pth checkpoint (torch) to convert")
     p.add_argument("--fusion", type=str, default="nerf",
                    choices=["nerf", "sigma", "tsdf", "none"])
+    p.add_argument("--mask_type", type=str, default="ours",
+                   choices=["ours", "raw", "ours_w_thresh", "no_depth"],
+                   help="depth-uncertainty masking ablation (reference "
+                        "fusion/nerf_fusion.py:173-183)")
+    p.add_argument("--fit_iters", type=int, default=0,
+                   help="continue mapping to this TOTAL iteration count "
+                        "after the sequence ends (convergence-horizon "
+                        "runs; reference evaluates to 25k iters)")
+    p.add_argument("--eval_every", type=int, default=200,
+                   help="iterations between online-eval rows under "
+                        "--eval (reference :304-306)")
+    p.add_argument("--eval_views", type=int, default=8)
     p.add_argument("--parallel_run", action="store_true")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--gui", action="store_true",
@@ -120,9 +132,12 @@ def build_fusion(args):
     if args.fusion == "nerf":
         from ..fusion import NerfFusion, NerfFusionConfig
         from ..utils.runtime import fusion_device
-        cfg = NerfFusionConfig(buffer=args.buffer, height=args.height,
-                               width=args.width,
-                               eval_every=200 if args.eval else 0)
+        cfg = NerfFusionConfig(
+            buffer=args.buffer, height=args.height, width=args.width,
+            mask_type=getattr(args, "mask_type", "ours"),
+            eval_every=(getattr(args, "eval_every", 200)
+                        if args.eval else 0),
+            eval_views=getattr(args, "eval_views", 8))
         dev = fusion_device(getattr(args, "device_split", False))
         return NerfFusion(cfg, seed=args.seed, device=dev), "nerf"
     from ..fusion.tsdf_fusion import TsdfFusion, TsdfFusionConfig
@@ -228,6 +243,16 @@ def run(args) -> dict:
                     if i.name == "x")
         results["vio_states"] = len(ks)
         results["vio_relinearized"] = tracker.backend.stats["relinearized"]
+
+    fit_iters = getattr(args, "fit_iters", 0)
+    if fit_iters and fusion is not None and \
+            hasattr(fusion, "fit_volume") and \
+            fusion.iteration < fit_iters:
+        # convergence-horizon training after the sequence (reference
+        # eval runs to 25k iterations, fusion/nerf_fusion.py:54,264-265);
+        # fit_volume itself appends an online-eval row every eval_every
+        fusion.fit_volume(fit_iters - fusion.iteration)
+        print(f"[fit] reached iter {fusion.iteration}", flush=True)
 
     if args.eval and fusion is not None:
         if hasattr(fusion, "evaluate_training_views"):

@@ -44,6 +44,14 @@ class SyntheticConfig:
     imu_rate_hz: float = 200.0
     fps: float = 30.0
     gravity: tuple = (0.0, 0.0, -9.81)
+    # interior objects (spheres + boxes) for parallax / occlusion /
+    # depth discontinuities; 0 keeps the legacy empty room (and
+    # bit-identical renders for existing tests and the bench sequence)
+    n_objects: int = 0
+    # vertical bob amplitude and look-target jitter of the orbit
+    # trajectory (training diversity; defaults match the legacy orbit)
+    bob_amp: float = 0.2
+    target_jitter: float = 0.0
 
 
 def _texture(p: np.ndarray, normal_axis: int,
@@ -64,11 +72,17 @@ def _texture(p: np.ndarray, normal_axis: int,
 
 
 def _render(c2w: np.ndarray, K: np.ndarray, h: int, w: int,
-            half: float, room_h: float, ph=(1.7, 0.5, 2.9, 0.0)):
+            half: float, room_h: float, ph=(1.7, 0.5, 2.9, 0.0),
+            objects=()):
     """Ray-cast the interior of an axis-aligned box; returns (rgb, depth).
 
     Box: x,y in [-half, half], z in [0, room_h] (world frame).
     Camera: OpenCV convention, rays r = R @ K^-1 [u,v,1].
+    ``objects``: optional interior primitives -- dicts
+    {"type": "sphere", "c": (3,), "r": float, "ph": 4-tuple} or
+    {"type": "box", "lo": (3,), "hi": (3,), "ph": 4-tuple} -- ray-cast
+    with occlusion against the room and each other (training-curriculum
+    parallax; empty tuple reproduces the legacy room bit-exactly).
     """
     u, v = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
     fx, fy, cx, cy = K
@@ -82,6 +96,7 @@ def _render(c2w: np.ndarray, K: np.ndarray, h: int, w: int,
     hi = np.array([half, half, room_h])
     tmax = np.full((h, w), np.inf)
     hit_axis = np.zeros((h, w), dtype=np.int64)
+    hit_obj = np.full((h, w), -1, dtype=np.int64)   # -1: room wall
     for ax in range(3):
         for bound in (lo[ax], hi[ax]):
             d = dirs[..., ax]
@@ -98,8 +113,48 @@ def _render(c2w: np.ndarray, K: np.ndarray, h: int, w: int,
             tmax = np.where(better, s, tmax)
             hit_axis = np.where(better, ax, hit_axis)
 
+    for oi, ob in enumerate(objects):
+        if ob["type"] == "sphere":
+            oc = np.asarray(ob["c"]) - t
+            b = np.sum(dirs * oc[None, None, :], axis=-1)
+            d2 = np.sum(dirs * dirs, axis=-1)
+            disc = b * b - d2 * (np.dot(oc, oc) - ob["r"] ** 2)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = (b - np.sqrt(np.maximum(disc, 0.0))) / d2
+            ok = (disc > 0) & (s > 1e-6)
+            better = ok & (s < tmax)
+            if better.any():
+                pn = t[None, None, :] + s[..., None] * dirs \
+                    - np.asarray(ob["c"])
+                nax = np.argmax(np.abs(pn), axis=-1)
+                tmax = np.where(better, s, tmax)
+                hit_axis = np.where(better, nax, hit_axis)
+                hit_obj = np.where(better, oi, hit_obj)
+        else:  # axis-aligned box, exterior hit via the slab method
+            blo, bhi = np.asarray(ob["lo"]), np.asarray(ob["hi"])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / dirs
+            t1 = (blo[None, None, :] - t) * inv
+            t2 = (bhi[None, None, :] - t) * inv
+            tn = np.min(np.stack([t1, t2]), axis=0)
+            tf = np.max(np.stack([t1, t2]), axis=0)
+            s_in = np.max(tn, axis=-1)
+            s_out = np.min(tf, axis=-1)
+            nax = np.argmax(tn, axis=-1)
+            ok = (s_in < s_out) & (s_in > 1e-6)
+            better = ok & (s_in < tmax)
+            if better.any():
+                tmax = np.where(better, s_in, tmax)
+                hit_axis = np.where(better, nax, hit_axis)
+                hit_obj = np.where(better, oi, hit_obj)
+
     pts = t[None, None, :] + tmax[..., None] * dirs
     rgb = _texture(pts, hit_axis, ph)
+    for oi, ob in enumerate(objects):
+        m = hit_obj == oi
+        if m.any():
+            rgb = np.where(m[..., None],
+                           _texture(pts, hit_axis, ob["ph"]), rgb)
     # rays are parameterized with unit z-component in the camera frame, so
     # the parameter s IS the camera z-depth
     return (rgb * 255).astype(np.uint8), tmax.astype(np.float32)
@@ -133,7 +188,33 @@ class SyntheticDataset:
         rng = np.random.RandomState(c.seed)
         self.tex_phases = tuple(rng.uniform(0, 2 * np.pi, 4)) \
             if c.seed else (1.7, 0.5, 2.9, 0.0)
+        self.objects = self._make_objects(rng)
+        # smooth look-target jitter (sinusoids -> analytic, so the IMU
+        # simulation's central differences stay exact)
+        self.jit_ph = rng.uniform(0, 2 * np.pi, 6)
         self.poses = self._trajectory()
+
+    def _make_objects(self, rng):
+        c = self.cfg
+        objs = []
+        for _ in range(c.n_objects):
+            ph = tuple(rng.uniform(0, 2 * np.pi, 4))
+            # keep object centers away from the camera orbit annulus
+            for _try in range(50):
+                r_c = rng.uniform(0.0, c.room_half - 0.3)
+                if abs(r_c - c.orbit_radius) > 0.45:
+                    break
+            ang = rng.uniform(0, 2 * np.pi)
+            z = rng.uniform(0.3, c.room_height - 0.3)
+            ctr = np.array([r_c * np.cos(ang), r_c * np.sin(ang), z])
+            if rng.rand() < 0.5:
+                objs.append({"type": "sphere", "c": ctr,
+                             "r": rng.uniform(0.12, 0.35), "ph": ph})
+            else:
+                he = rng.uniform(0.1, 0.3, 3)
+                objs.append({"type": "box", "lo": ctr - he,
+                             "hi": ctr + he, "ph": ph})
+        return objs
 
     def _pose_at(self, fi: float) -> np.ndarray:
         """c2w at continuous frame index ``fi`` (the orbit is analytic,
@@ -145,10 +226,13 @@ class SyntheticDataset:
             a = 2 * np.pi * fi / c.n_frames
         eye = np.array([c.orbit_radius * np.cos(a),
                         c.orbit_radius * np.sin(a),
-                        0.5 * c.room_height + 0.2 * np.sin(2 * a)])
-        target = np.array([2.0 * np.cos(a + 0.7),
-                           2.0 * np.sin(a + 0.7),
-                           0.5 * c.room_height])
+                        0.5 * c.room_height + c.bob_amp * np.sin(2 * a)])
+        j = c.target_jitter
+        p = self.jit_ph if j else np.zeros(6)
+        target = np.array([
+            2.0 * np.cos(a + 0.7) + j * np.sin(2.3 * a + p[0]),
+            2.0 * np.sin(a + 0.7) + j * np.sin(3.1 * a + p[1]),
+            0.5 * c.room_height + j * np.sin(2.7 * a + p[2])])
         return look_at(eye, target)
 
     def _trajectory(self):
@@ -194,7 +278,7 @@ class SyntheticDataset:
         c = self.cfg
         rgb, depth = _render(self.poses[k], self.K, c.height, c.width,
                              c.room_half, c.room_height,
-                             self.tex_phases)
+                             self.tex_phases, self.objects)
         out = {
             "k": k,
             "t_cams": float(k) / c.fps,
@@ -213,7 +297,7 @@ class SyntheticDataset:
             c2w_r[:3, 3] = c2w_r[:3, 3] + c2w_r[:3, 0] * c.baseline
             rgb_r, _ = _render(c2w_r, self.K, c.height, c.width,
                                c.room_half, c.room_height,
-                               self.tex_phases)
+                               self.tex_phases, self.objects)
             out["images_right"] = rgb_r
             # cam1_T_cam0 7-vec [t, q]: pure translation -baseline in x
             out["stereo_rel"] = np.array(

@@ -105,8 +105,15 @@ class TrainBatch(NamedTuple):
 
 def droid_forward(net: DroidNet, params, batch: TrainBatch,
                   ii: jax.Array, jj: jax.Array, num_steps: int = 8,
-                  fixedp: int = 2):
+                  fixedp: int = 2, remat: bool = False,
+                  bf16_pyramid: bool = False):
     """Unrolled training forward (droid_net.py:181-230 semantics).
+
+    ``remat``: rematerialize each unrolled iteration (jax.checkpoint)
+    so high-resolution curriculum phases fit in HBM.
+    ``bf16_pyramid``: build the correlation pyramid in bf16 via pooled
+    features (matches the production frontend's storage; halves the
+    volume's HBM residency).
 
     Returns (poses_list, disps_list, residual_list).
     """
@@ -118,8 +125,13 @@ def droid_forward(net: DroidNet, params, batch: TrainBatch,
     ctx, inp = net.apply(params, imgs, method=DroidNet.context)
 
     f = fmaps.transpose(0, 3, 1, 2)
-    cp = corr.CorrPyramid(
-        [lv for lv in corr.build_pyramid(corr.build_volume(f[ii], f[jj]))])
+    if bf16_pyramid:
+        cp = corr.CorrPyramid(
+            list(corr.build_pyramid_bf16(f[ii], f[jj])))
+    else:
+        cp = corr.CorrPyramid(
+            [lv for lv in
+             corr.build_pyramid(corr.build_volume(f[ii], f[jj]))])
 
     coords0 = camera.coords_grid(h, w)
     poses = jnp.tile(se3.identity(), (N, 1))
@@ -141,8 +153,7 @@ def droid_forward(net: DroidNet, params, batch: TrainBatch,
         poses, disps, batch.intrinsics, ii, jj)
     target = coords1
 
-    poses_list, disps_list, residual_list = [], [], []
-    for _ in range(num_steps):
+    def one_step(params, net_h, coords1, target, poses, disps):
         coords1 = jax.lax.stop_gradient(coords1)
         target = jax.lax.stop_gradient(target)
         poses = jax.lax.stop_gradient(poses)
@@ -166,7 +177,17 @@ def droid_forward(net: DroidNet, params, batch: TrainBatch,
 
         coords1, valid, _ = camera.projective_transform(
             poses, disps, batch.intrinsics, ii, jj)
-        residual_list.append((target - coords1) * valid)
+        residual = (target - coords1) * valid
+        return net_h, coords1, target, poses, disps, residual
+
+    if remat:
+        one_step = jax.checkpoint(one_step)
+
+    poses_list, disps_list, residual_list = [], [], []
+    for _ in range(num_steps):
+        (net_h, coords1, target, poses, disps, residual) = one_step(
+            params, net_h, coords1, target, poses, disps)
+        residual_list.append(residual)
         poses_list.append(poses)
         disps_list.append(disps)
 
@@ -175,10 +196,12 @@ def droid_forward(net: DroidNet, params, batch: TrainBatch,
 
 def droid_loss(net, params, batch: TrainBatch, ii, jj,
                num_steps: int = 8, w_pose: float = 10.0,
-               w_flow: float = 0.1, w_res: float = 0.01):
+               w_flow: float = 0.1, w_res: float = 0.01,
+               remat: bool = False, bf16_pyramid: bool = False):
     """Total training loss (weights as in the DROID paper recipe)."""
     poses_list, disps_list, residuals = droid_forward(
-        net, params, batch, ii, jj, num_steps)
+        net, params, batch, ii, jj, num_steps, remat=remat,
+        bf16_pyramid=bf16_pyramid)
     lg, mg = geodesic_loss(batch.poses_gt, poses_list, ii, jj)
     lf, mf = flow_loss(batch.poses_gt, batch.disps_gt, poses_list,
                        disps_list, batch.intrinsics, ii, jj)
@@ -189,14 +212,17 @@ def droid_loss(net, params, batch: TrainBatch, ii, jj,
     return loss, metrics
 
 
-def make_train_step(net: DroidNet, optimizer, ii, jj, num_steps: int = 8):
+def make_train_step(net: DroidNet, optimizer, ii, jj, num_steps: int = 8,
+                    remat: bool = False, bf16_pyramid: bool = False):
     """Jitted Adam step over droid_loss."""
     import optax
 
     @jax.jit
     def step(params, opt_state, batch: TrainBatch):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: droid_loss(net, p, batch, ii, jj, num_steps),
+            lambda p: droid_loss(net, p, batch, ii, jj, num_steps,
+                                 remat=remat,
+                                 bf16_pyramid=bf16_pyramid),
             has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

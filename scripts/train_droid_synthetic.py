@@ -4,15 +4,31 @@ The reference ships a pretrained ``droid.pth`` (a missing blob in this
 checkout); this driver exercises the full differentiable training path
 (BA-in-the-loop, models/training.py -- the realization of the
 reference's training forward, networks/droid_net.py:181-230) to produce
-weights that actually track, and validates them by ATE on a held-out
-synthetic sequence against random initialization.
+weights that actually track under the production policy.
+
+Round-5 curriculum (VERDICT r4 #1: "cut ATE below 0.1 m via a stronger
+synthetic training curriculum"): multiple phases of increasing
+resolution and motion magnitude, so the flow statistics the net sees
+match deployment (the 336x640 bench sequence moves ~12 deg/frame =
+~14 px/frame at feature resolution; the old single-phase 96x128 recipe
+never saw more than ~4).  Scenes now carry interior objects (parallax,
+occlusion, depth discontinuities) and jittered trajectories.
+
+Each phase runs in its OWN subprocess: compiling two heavy program
+geometries in one process wedges the tunneled dev TPU
+(docs/platform_notes.md #4).  Phases checkpoint every ``save_every``
+steps and resume from the newest in-phase checkpoint, so an interrupted
+run loses at most a few minutes.
 
 Usage (from the repo root):
-    python scripts/train_droid_synthetic.py --steps 400 \
-        --out weights_synthetic.npz [--eval]
+    python scripts/train_droid_synthetic.py --out weights_synthetic.npz
+    python scripts/train_droid_synthetic.py --phases quick --eval
+Child mode (internal): --phase-json '<spec>'
 """
 import argparse
+import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,19 +37,95 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import numpy as np
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def make_batch(seed, n_frames, H, W):
-    import jax.numpy as jnp
+# curriculum: resolution and per-frame motion ramp toward the bench
+# cell's statistics (336x640, 12 deg/frame).  steps are per phase.
+PHASES = {
+    # step counts exploit the measured economics of the tunneled chip:
+    # one-time compile dominates (~8-20 min/phase) while a training step
+    # costs only ~15-300 ms, so each phase trains LONG once compiled
+    "full": [
+        dict(name="p1", H=96, W=128, frames=7, scenes=64, steps=8000,
+             gru_steps=8, lr=2e-4, deg_lo=2.0, deg_hi=14.0,
+             max_objects=8, remat=False),
+        dict(name="p2", H=192, W=320, frames=7, scenes=48, steps=3000,
+             gru_steps=8, lr=1e-4, deg_lo=3.0, deg_hi=16.0,
+             max_objects=8, remat=True),
+        dict(name="p3", H=256, W=448, frames=5, scenes=32, steps=1500,
+             gru_steps=6, lr=5e-5, deg_lo=6.0, deg_hi=18.0,
+             max_objects=8, remat=True),
+    ],
+    "quick": [
+        dict(name="q1", H=96, W=128, frames=5, scenes=4, steps=30,
+             gru_steps=4, lr=2e-4, deg_lo=2.0, deg_hi=12.0,
+             max_objects=4, remat=False),
+    ],
+}
+
+
+def _quat_from_matrix(R):
+    """(3,3) rotation -> [x,y,z,w] quaternion, pure numpy (Shepperd).
+    Scene generation must not touch jax: on the tunneled chip every
+    eager op is a ~1 s round trip, which turned 64-scene generation
+    into tens of minutes."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        x = 0.25 * s
+        w = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        y = 0.25 * s
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        z = 0.25 * s
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+    return np.array([x, y, z, w])
+
+
+def _se3_from_matrix_np(Ts):
+    """(N,4,4) -> (N,7) [t, q] numpy (matches geometry/se3.from_matrix)."""
+    out = np.zeros((Ts.shape[0], 7), np.float32)
+    for i, T in enumerate(Ts):
+        out[i, :3] = T[:3, 3]
+        out[i, 3:] = _quat_from_matrix(T[:3, :3])
+    return out
+
+
+def make_batch(seed, spec):
     from nerf_slam_tpu.datasets import SyntheticDataset, SyntheticConfig
-    from nerf_slam_tpu.geometry import se3
     from nerf_slam_tpu.models.training import TrainBatch
 
+    H, W, n_frames = spec["H"], spec["W"], spec["frames"]
     r = np.random.RandomState(seed + 17)
+    deg = r.uniform(spec["deg_lo"], spec["deg_hi"])
+    if r.rand() < 0.5:
+        deg = -deg                       # both orbit directions
     ds = SyntheticDataset(SyntheticConfig(
-        n_frames=n_frames, height=H, width=W, seed=seed,
-        orbit_radius=r.uniform(0.7, 1.4),
-        deg_per_frame=r.uniform(2.0, 8.0),
-        start_deg=r.uniform(0.0, 360.0)))
+        n_frames=n_frames, height=H, width=W, seed=seed + 1,
+        fov_deg=r.uniform(60.0, 80.0),
+        orbit_radius=r.uniform(0.6, 1.4),
+        room_half=r.uniform(1.6, 2.6),
+        room_height=r.uniform(2.0, 3.0),
+        deg_per_frame=deg,
+        start_deg=r.uniform(0.0, 360.0),
+        n_objects=r.randint(0, spec["max_objects"] + 1),
+        bob_amp=r.uniform(0.0, 0.35),
+        target_jitter=r.uniform(0.0, 0.35)))
     imgs, poses, disps, intr = [], [], [], []
     for k in range(n_frames):
         p = ds[k]
@@ -42,83 +134,67 @@ def make_batch(seed, n_frames, H, W):
         d = p["depths"][::8, ::8]
         disps.append(1.0 / np.maximum(d, 0.1))
         intr.append(p["intrinsics"] / 8.0)
+    # numpy throughout: the jitted train step device_puts its args once
+    # per call; eager jnp conversion here costs a tunnel RTT per op
     return TrainBatch(
-        images=jnp.asarray(np.stack(imgs)),
-        poses_gt=se3.from_matrix(jnp.asarray(np.stack(poses))),
-        disps_gt=jnp.asarray(np.stack(disps), np.float32),
-        intrinsics=jnp.asarray(np.stack(intr), np.float32))
+        images=np.stack(imgs),
+        poses_gt=_se3_from_matrix_np(np.stack(poses)),
+        disps_gt=np.stack(disps).astype(np.float32),
+        intrinsics=np.stack(intr).astype(np.float32))
 
 
-def run_tracking_ate(params, n_frames=60, H=96, W=128):
-    """Track a held-out synthetic sequence with the production keyframe
-    policy (motion filter + redundancy rejection); return ATE-RMSE (m)."""
-    from nerf_slam_tpu.datasets import SyntheticDataset, SyntheticConfig
-    from nerf_slam_tpu.tracking import RaftVisualFrontend, FrontendConfig
-    from nerf_slam_tpu.utils.evaluation import ate_rmse
-    from nerf_slam_tpu.geometry import se3
+def neighborhood_graph(N, radius=3):
     import jax.numpy as jnp
-
-    ds = SyntheticDataset(SyntheticConfig(n_frames=n_frames, height=H,
-                                          width=W, seed=1234,
-                                          orbit_radius=1.2,
-                                          deg_per_frame=1.5))
-    cfg = FrontendConfig(buffer=32, e_active=48, e_inactive=48,
-                         p_window=32, k_depth=36,
-                         damping_scale=1.0, damping_offset=1e-4)
-    fe = RaftVisualFrontend(params, cfg, (H, W))
-    for k in range(n_frames):
-        fe(k, ds[k])
-    n = min(fe.kf_idx + 1, cfg.buffer)
-    est_w2c = np.asarray(fe.state.cam_T_world[:n])
-    est_c2w = np.asarray(se3.matrix(se3.inv(jnp.asarray(est_w2c))))
-    gt_c2w = np.asarray(fe.state.gt_poses[:n])
-    return ate_rmse(est_c2w[:, :3, 3], gt_c2w[:, :3, 3])
+    ii, jj = [], []
+    for a in range(N):
+        for b in range(N):
+            if a != b and abs(a - b) <= radius:
+                ii.append(a)
+                jj.append(b)
+    return jnp.asarray(np.array(ii)), jnp.asarray(np.array(jj))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--scenes", type=int, default=24)
-    ap.add_argument("--frames", type=int, default=5)
-    ap.add_argument("--height", type=int, default=96)
-    ap.add_argument("--width", type=int, default=128)
-    ap.add_argument("--gru_steps", type=int, default=6)
-    ap.add_argument("--lr", type=float, default=2e-4)
-    ap.add_argument("--out", default="weights_synthetic.npz")
-    ap.add_argument("--eval", action="store_true")
-    args = ap.parse_args()
-
+def run_phase(spec, init_path, out_path, save_every=100):
+    """Child: train one curriculum phase, resumable via checkpoints."""
     import jax
     import jax.numpy as jnp
     import optax
     from nerf_slam_tpu.models import DroidNet
     from nerf_slam_tpu.models.training import make_train_step
-    from nerf_slam_tpu.utils.checkpoint import save_arrays, load_arrays, \
-        unflatten_into
+    from nerf_slam_tpu.utils.checkpoint import (load_arrays, save_arrays,
+                                                unflatten_into)
     from nerf_slam_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
 
-    H, W = args.height, args.width
-    h, w = H // 8, W // 8
-    N = args.frames
+    H, W = spec["H"], spec["W"]
     net = DroidNet(dtype=jnp.bfloat16)
     params = net.init_params(jax.random.PRNGKey(0), H, W)
 
-    # radius-3 neighborhood, matching the frontend's __initialize graph
-    ii, jj = [], []
-    for a in range(N):
-        for b in range(N):
-            if a != b and abs(a - b) <= 3:
-                ii.append(a)
-                jj.append(b)
-    ii = jnp.asarray(np.array(ii))
-    jj = jnp.asarray(np.array(jj))
+    ckpt = out_path + f".{spec['name']}.ckpt.npz"
+    start_step = 0
+    if os.path.exists(ckpt):
+        flat, meta = load_arrays(ckpt)
+        params = unflatten_into(params, flat)
+        start_step = int(meta.get("step", 0))
+        print(f"[{spec['name']}] resume from step {start_step}",
+              flush=True)
+    elif init_path and os.path.exists(init_path):
+        flat, _ = load_arrays(init_path)
+        params = unflatten_into(params, flat)
+        print(f"[{spec['name']}] warm-start from {init_path}",
+              flush=True)
 
-    print(f"generating {args.scenes} scenes "
-          f"({N} frames at {H}x{W})...", flush=True)
-    batches = [make_batch(s, N, H, W) for s in range(args.scenes)]
+    ii, jj = neighborhood_graph(spec["frames"])
 
-    sched = optax.linear_schedule(0.0, args.lr, 50)
+    print(f"[{spec['name']}] generating {spec['scenes']} scenes "
+          f"({spec['frames']} frames at {H}x{W})...", flush=True)
+    batches = [make_batch(1000 * (1 + PHASE_INDEX.get(spec['name'], 0))
+                          + s, spec) for s in range(spec["scenes"])]
+
+    steps = spec["steps"]
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, spec["lr"], min(100, steps // 4), steps,
+        end_value=0.05 * spec["lr"])
     # BA-in-the-loop training occasionally produces NaN grads (singular
     # reduced systems while the weight head is untrained); zero them so
     # Adam state survives and training recovers
@@ -126,31 +202,107 @@ def main():
                       optax.clip_by_global_norm(1.0),
                       optax.adam(sched))
     opt_state = opt.init(params)
-    step = make_train_step(net, opt, ii, jj, num_steps=args.gru_steps)
+    step = make_train_step(net, opt, ii, jj,
+                           num_steps=spec["gru_steps"],
+                           remat=spec.get("remat", False),
+                           bf16_pyramid=True)
 
+    order = np.random.RandomState(7).permutation(
+        np.arange(len(batches) * (1 + steps // max(1, len(batches)))))
     t0 = time.time()
-    for it in range(args.steps):
-        batch = batches[it % len(batches)]
+    for it in range(start_step, steps):
+        batch = batches[order[it % len(order)] % len(batches)]
         params, opt_state, metrics = step(params, opt_state, batch)
-        if it % 20 == 0 or it == args.steps - 1:
+        if it % 20 == 0 or it == steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
-            print(f"[{time.time()-t0:7.1f}s] step {it:4d} "
-                  f"loss {m['loss']:.4f} geo {m['geodesic']:.4f} "
-                  f"flow {m['flow']:.3f} res {m['residual']:.3f}",
-                  flush=True)
+            print(f"[{spec['name']} {time.time()-t0:7.1f}s] "
+                  f"step {it:4d} loss {m['loss']:.4f} "
+                  f"geo {m['geodesic']:.4f} flow {m['flow']:.3f} "
+                  f"res {m['residual']:.3f} "
+                  f"rot {m['rot_error_deg']:.2f}deg", flush=True)
+        if (it + 1) % save_every == 0 and it != steps - 1:
+            save_arrays(ckpt, jax.device_get(params),
+                        meta={"step": it + 1, "height": H, "width": W})
 
-    save_arrays(args.out, jax.device_get(params),
-                meta={"steps": args.steps, "height": H, "width": W})
-    print(f"saved {args.out}", flush=True)
+    save_arrays(out_path, jax.device_get(params),
+                meta={"phase": spec["name"], "steps": steps,
+                      "height": H, "width": W})
+    if os.path.exists(ckpt):
+        os.remove(ckpt)
+    print(f"[{spec['name']}] saved {out_path}", flush=True)
 
-    if args.eval:
-        flat, _ = load_arrays(args.out)
-        params_loaded = unflatten_into(params, flat)
-        ate_trained = run_tracking_ate(params_loaded)
-        rnd = net.init_params(jax.random.PRNGKey(7), H, W)
-        ate_random = run_tracking_ate(rnd)
-        print(f"ATE-RMSE held-out synthetic: trained {ate_trained:.4f} m"
-              f" vs random-init {ate_random:.4f} m", flush=True)
+
+PHASE_INDEX = {"p1": 0, "p2": 1, "p3": 2, "q1": 0}
+
+
+def eval_bench_cell(weights_path):
+    """Parent: ATE on the bench cell (336x640 legacy orbit, production
+    policy) in a fresh process."""
+    env = dict(os.environ, WEIGHTS=weights_path)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench", "diag_ate.py"),
+         "336", "640", "12.0"], capture_output=True, text=True,
+        timeout=1800, cwd=ROOT, env=env)
+    for line in proc.stdout.splitlines():
+        if line.startswith("ROW:"):
+            return json.loads(line[4:])
+    print(f"[eval failed rc={proc.returncode}] {proc.stderr[-600:]}",
+          flush=True)
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phases", default="full",
+                    choices=sorted(PHASES.keys()))
+    ap.add_argument("--out", default="weights_synthetic.npz")
+    ap.add_argument("--init", default=None,
+                    help="warm-start weights for the first phase")
+    ap.add_argument("--eval", action="store_true",
+                    help="bench-cell ATE after each phase")
+    ap.add_argument("--phase-json", default=None, help="internal")
+    ap.add_argument("--start-phase", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.phase_json:
+        spec = json.loads(args.phase_json)
+        run_phase(spec, args.init, args.out)
+        return
+
+    out = os.path.abspath(args.out)
+    prev = args.init and os.path.abspath(args.init)
+    for pi, spec in enumerate(PHASES[args.phases]):
+        if pi < args.start_phase:
+            prev = out + f".{spec['name']}.npz"
+            continue
+        phase_out = out + f".{spec['name']}.npz"
+        print(f"=== phase {spec['name']}: {spec} ===", flush=True)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--phase-json", json.dumps(spec), "--out", phase_out]
+        if prev:
+            cmd += ["--init", prev]
+        t0 = time.time()
+        # retry once: a faulted tunnel device poisons the process
+        # (docs/platform_notes.md #7) but checkpoints make retries cheap
+        for attempt in range(3):
+            rc = subprocess.call(cmd, cwd=ROOT)
+            if rc == 0:
+                break
+            print(f"[{spec['name']}] attempt {attempt} rc={rc}; "
+                  "retrying from checkpoint", flush=True)
+        print(f"=== phase {spec['name']} done in "
+              f"{time.time()-t0:.0f}s ===", flush=True)
+        prev = phase_out
+        if args.eval:
+            row = eval_bench_cell(phase_out)
+            print(f"[{spec['name']}] bench-cell ATE: {row}", flush=True)
+
+    if prev and os.path.exists(prev):
+        import shutil
+        shutil.copyfile(prev, out)
+        if os.path.exists(prev + ".json"):
+            shutil.copyfile(prev + ".json", out + ".json")
+        print(f"final weights -> {out}", flush=True)
 
 
 if __name__ == "__main__":

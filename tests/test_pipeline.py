@@ -119,3 +119,28 @@ def test_pipeline_stage_failure_tears_down(parallel):
             run_sequential([src, boom, sink])
     assert time.time() - t0 < 20.0
     assert boom.failed and all(m.shutdown for m in (src, boom, sink))
+
+
+def test_cli_flag_wiring_mask_and_horizon():
+    """--mask_type / --fit_iters / --eval_every / --eval_views reach the
+    fusion config (sweep + convergence drivers depend on these; the
+    reference threads mask ablations through fusion/nerf_fusion.py:173-183
+    and evaluates to 25k iters)."""
+    from nerf_slam_tpu.cli.slam_demo import parse_args, build_fusion
+
+    args = parse_args(["--fusion", "nerf", "--eval",
+                       "--mask_type", "raw", "--fit_iters", "500",
+                       "--eval_every", "100", "--eval_views", "3",
+                       "--height", "48", "--width", "64"])
+    assert args.fit_iters == 500
+    fusion, mode = build_fusion(args)
+    assert mode == "nerf"
+    assert fusion.cfg.mask_type == "raw"
+    assert fusion.cfg.eval_every == 100
+    assert fusion.cfg.eval_views == 3
+    # without --eval the online cadence is disabled
+    args2 = parse_args(["--fusion", "nerf", "--mask_type", "no_depth",
+                        "--height", "48", "--width", "64"])
+    fusion2, _ = build_fusion(args2)
+    assert fusion2.cfg.eval_every == 0
+    assert fusion2.cfg.mask_type == "no_depth"

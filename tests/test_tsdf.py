@@ -179,3 +179,42 @@ def test_fusion_module_sigma_thresh_and_rebuild_commands():
     mod.handle_command({"cmd": "rebuild"})
     w1 = float(np.asarray(fu.volume.weight).sum())
     assert w1 == 0.0, w1   # the only frame had sigma 2.0 > 1.0
+
+
+def test_high_fidelity_preset_voxel_size():
+    """Reference parity: <=1.5 cm voxels (reference VoxelBlockGrid is
+    6/512 ~ 1.17 cm, fusion/tsdf_fusion.py:63-86)."""
+    cfg = TsdfFusionConfig.high_fidelity()
+    assert cfg.voxel_size <= 0.015 + 1e-9
+    assert cfg.grid_size % 128 == 0          # lane-aligned dense sweep
+    # overridability (tests and small scenes shrink the grid)
+    small = TsdfFusionConfig.high_fidelity(grid_size=64,
+                                           volume_extent=0.96)
+    assert abs(small.voxel_size - 0.015) < 1e-9
+
+
+def test_finer_grid_reduces_surface_error():
+    """Halving the voxel size should cut the mesh's analytic surface
+    error on GT-depth fusion of an OBJECT scene (curved geometry is
+    where voxel size shows; flat walls interpolate to sub-voxel error
+    at any resolution).  CPU-scale version of scripts/tsdf_fidelity.py."""
+    from scripts.tsdf_fidelity import scene_surface_distance
+
+    ds = SyntheticDataset(SyntheticConfig(n_frames=6, height=60,
+                                          width=80, seed=21,
+                                          n_objects=8))
+    errs = {}
+    for G in (48, 96):
+        fu = TsdfFusion(TsdfFusionConfig(
+            grid_size=G, volume_extent=5.0,
+            volume_origin=(-2.5, -2.5, -1.0), max_depth=6.0))
+        for k in range(6):
+            p = ds[k]
+            w2c = np.linalg.inv(p["poses"])
+            cov = 1e-4 * np.ones_like(p["depths"])
+            fu.integrate_frame(w2c, p["intrinsics"], p["depths"], cov,
+                               p["images"], record=False)
+        verts, _, _ = fu.extract_mesh(weight_thresh=1.0)
+        assert verts.shape[0] > 100
+        errs[G] = scene_surface_distance(verts, ds).mean()
+    assert errs[96] < 0.8 * errs[48], errs
