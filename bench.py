@@ -70,19 +70,26 @@ def build_core(production: bool):
     h, w = H // 8, W // 8
     net = DroidNet(dtype=jnp.bfloat16)
     params = net.init_params(jax.random.PRNGKey(0), H, W)
+    damping_kw = {}
     if production:
         from nerf_slam_tpu.utils.checkpoint import (load_arrays,
                                                     unflatten_into)
         wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "weights_synthetic.npz")
-        flat, _ = load_arrays(wpath)
+        flat, meta = load_arrays(wpath)
         params = unflatten_into(params, flat)
         mft, kft = 2.4, 4.0          # reference thresholds (BASELINE.md)
+        # BA damping recipe rides the weights sidecar (training uses
+        # 1.0*eta + 1e-4; the 0.2/1e-7 default belongs to droid.pth)
+        for k in ("damping_scale", "damping_offset"):
+            if k in meta:
+                damping_kw[k] = float(meta[k])
     else:
         mft, kft = -1.0, -1.0        # take every frame
     cfg = FrontendConfig(buffer=BUFFER, e_active=48, e_inactive=48,
                          p_window=BUFFER, k_depth=BUFFER + 4,
-                         motion_filter_thresh=mft, keyframe_thresh=kft)
+                         motion_filter_thresh=mft, keyframe_thresh=kft,
+                         **damping_kw)
     frontend = RaftVisualFrontend(params, cfg, (H, W))
     fusion = NerfFusion(NerfFusionConfig(
         buffer=BUFFER, height=H, width=W, batch_rays=4096,

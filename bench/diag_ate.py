@@ -53,13 +53,23 @@ def run_cell(H, W, deg):
 
     net = DroidNet(dtype=jnp.bfloat16)
     params = net.init_params(jax.random.PRNGKey(0), H, W)
-    flat, _ = load_arrays(wpath)
+    flat, meta = load_arrays(wpath)
     params = unflatten_into(params, flat)
+    # damping recipe from the weights sidecar unless the env overrides
+    if "DAMP_SCALE" not in os.environ and "damping_scale" in meta:
+        os.environ["DAMP_SCALE"] = str(meta["damping_scale"])
+        os.environ["DAMP_OFF"] = str(meta.get("damping_offset", 1e-7))
 
     buf = 24
     cfg = FrontendConfig(buffer=buf, e_active=48, e_inactive=48,
                          p_window=buf, k_depth=buf + 4,
-                         motion_filter_thresh=2.4, keyframe_thresh=4.0)
+                         motion_filter_thresh=2.4, keyframe_thresh=4.0,
+                         global_ba=bool(os.environ.get("GLOBAL_BA")),
+                         rgbd=bool(os.environ.get("RGBD")),
+                         damping_scale=float(
+                             os.environ.get("DAMP_SCALE", 0.2)),
+                         damping_offset=float(
+                             os.environ.get("DAMP_OFF", 1e-7)))
     fe = RaftVisualFrontend(params, cfg, (H, W))
     for k in range(n_frames):
         pkt = ds[k]
@@ -76,6 +86,9 @@ def run_cell(H, W, deg):
     # mean disparity (scale proxy)
     disp = np.asarray(fe.state.idepths[:n])
     row = {"H": H, "W": W, "deg": deg, "n_kf": int(n),
+           "global_ba": bool(os.environ.get("GLOBAL_BA")),
+           "rgbd": bool(os.environ.get("RGBD")),
+           "damping": f"{cfg.damping_scale}/{cfg.damping_offset}",
            "ate_rmse_m": round(float(ate), 4),
            "dt_est_mean": round(float(dt_est.mean()), 4),
            "dt_gt_mean": round(float(dt_gt.mean()), 4),

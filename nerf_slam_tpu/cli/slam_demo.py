@@ -28,6 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--initial_k", type=int, default=0)
     p.add_argument("--final_k", type=int, default=-1)
     p.add_argument("--stereo", action="store_true")
+    p.add_argument("--rgbd", action="store_true",
+                   help="seed metric sensed depths from packet depths "
+                        "(reference cam0_idepths_sensed path for "
+                        "TUM/RealSense RGB-D, visual_frontend.py:598-602)")
     p.add_argument("--vio", action="store_true",
                    help="visual-inertial: wrap the frontend in VioSLAM "
                         "and feed imu_t0_t1 packets to the inertial "
@@ -98,13 +102,20 @@ def build_frontend(args, image_size):
     H, Wd = image_size
     h, w = H // 8, Wd // 8
     net = DroidNet(dtype=jnp.bfloat16)
+    damping_kw = {}
     if args.weights and args.weights.endswith(".npz"):
         # nerf_slam_tpu-native checkpoint (e.g. from
         # scripts/train_droid_synthetic.py)
         from ..utils.checkpoint import load_arrays, unflatten_into
         template = net.init_params(jax.random.PRNGKey(0), H, Wd)
-        flat, _ = load_arrays(args.weights)
+        flat, meta = load_arrays(args.weights)
         params = unflatten_into(template, flat)
+        # the BA damping recipe the weights were trained with rides the
+        # sidecar (training runs 1.0*eta + 1e-4; the reference default
+        # 0.2*eta + 1e-7 belongs to droid.pth)
+        for k in ("damping_scale", "damping_offset"):
+            if k in meta:
+                damping_kw[k] = float(meta[k])
     elif args.weights:
         params = W.load_droid_pth(args.weights)
     else:
@@ -121,8 +132,9 @@ def build_frontend(args, image_size):
                          k_depth=min(args.buffer + 8, 40),
                          global_ba=getattr(args, "global_ba", False),
                          stereo=stereo,
+                         rgbd=getattr(args, "rgbd", False),
                          edge_shards=getattr(args, "edge_shards", 1),
-                         **kw)
+                         **damping_kw, **kw)
     return RaftVisualFrontend(params, cfg, image_size)
 
 

@@ -98,6 +98,19 @@ class FrontendConfig:
     # DBA they constrain depth/scale only (droid_kernels.cu:367, 432)
     stereo: bool = False
     stereo_rel: tuple = (-0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+    # RGB-D: seed metric sensed inverse depths from packet depths (the
+    # reference's cam0_idepths_sensed path for TUM/RealSense-style
+    # datasets, visual_frontend.py:598-602); anchors the monocular gauge
+    rgbd: bool = False
+    # incremental correlation rebuild: when an edge sync adds at most
+    # this many NEW edges, the fused maintenance gathers surviving
+    # volumes and builds only the new slots' pyramids (the all-pairs
+    # build is the per-keyframe hot-loop's single most expensive stage:
+    # ~5.8 bf16 TFLOP for 48 edges at 42x80 -- near the MXU roofline,
+    # so the only way to go faster is to not rebuild unchanged edges).
+    # Syncs with more new edges, the standalone refresh path, and
+    # rm_keyframe's flush all keep the full rebuild.  0 disables.
+    e_rebuild: int = 16
     # multi-chip: shard the fused GRU+DBA update over `edge_shards`
     # devices along the edge axis (SURVEY.md 2.3's intra-op parallelism
     # as a jax.sharding mesh): per-edge correlation lookup, GRU and
@@ -417,17 +430,53 @@ class RaftVisualFrontend:
         flow = jnp.where(nm > 0, target, flow)
         flow_w = jnp.where(nm > 0, 0.0, flow_w)
 
+        levels = self._build_levels(state, ii_pad, jj_pad)
+        return EdgeState(hidden=hidden, flow=flow, flow_weight=flow_w,
+                         corr_levels=levels)
+
+    def _build_levels(self, state: KeyframeState, ii, jj):
+        """All-pairs correlation pyramids for edge endpoint lists
+        (ii, jj) -- any length."""
         f = state.features.transpose(0, 3, 1, 2)
-        fj = f[jj_pad]
+        fj = f[jj]
         if self.cfg.stereo:
             # stereo (i, i) edges correlate cam0 -> cam1 features
             # (visual_frontend.py:839-841 feature_img_jj indexing)
             f1 = state.features1.transpose(0, 3, 1, 2)
-            st_m = (ii_pad == jj_pad)[:, None, None, None]
-            fj = jnp.where(st_m, f1[jj_pad], fj)
+            st_m = (ii == jj)[:, None, None, None]
+            fj = jnp.where(st_m, f1[jj], fj)
         n_lv = 1 if self.cfg.corr_impl == "pallas" else 4
-        levels = tuple(corr.build_pyramid_bf16(f[ii_pad], fj,
-                                               n_lv, pad_rows_to=8))
+        return tuple(corr.build_pyramid_bf16(f[ii], fj, n_lv,
+                                             pad_rows_to=8))
+
+    def _refresh_edges_incr_body(self, state: KeyframeState,
+                                 edges: EdgeState, gather_idx, new_mask,
+                                 ii_pad, jj_pad, rebuild_idx):
+        """Incremental edge-state maintenance: identical hidden/flow
+        handling to :meth:`_refresh_edges_body`, but the correlation
+        pyramid is GATHERED for surviving slots (volume content depends
+        on keyframe identity, which edge compaction preserves) and
+        rebuilt only for the <= e_rebuild new slots listed in
+        ``rebuild_idx`` (padded with Ea -> dropped by the scatter)."""
+        Ea = self.cfg.e_active
+        hidden = edges.hidden[gather_idx]
+        flow = edges.flow[gather_idx]
+        flow_w = edges.flow_weight[gather_idx]
+
+        target, _, _ = camera.projective_transform(
+            state.cam_T_world, state.idepths, state.intrinsics,
+            ii_pad, jj_pad, stereo_rel=self._stereo_rel())
+        nm = new_mask[:, None, None, None]
+        hidden = jnp.where(nm > 0, state.contexts[ii_pad], hidden)
+        flow = jnp.where(nm > 0, target, flow)
+        flow_w = jnp.where(nm > 0, 0.0, flow_w)
+
+        safe = jnp.clip(rebuild_idx, 0, Ea - 1)
+        new_levels = self._build_levels(state, ii_pad[safe],
+                                        jj_pad[safe])
+        levels = tuple(
+            lv[gather_idx].at[rebuild_idx].set(nl, mode="drop")
+            for lv, nl in zip(edges.corr_levels, new_levels))
         return EdgeState(hidden=hidden, flow=flow, flow_weight=flow_w,
                          corr_levels=levels)
 
@@ -531,8 +580,8 @@ class RaftVisualFrontend:
 
     def _prefix_len(self) -> int:
         cfg = self.cfg
-        return 1 + 4 * cfg.e_active + 1 + cfg.e_inactive + 2 + \
-            self.V_VIZ + 1
+        return 1 + 4 * cfg.e_active + cfg.e_rebuild + 1 + \
+            cfg.e_inactive + 2 + self.V_VIZ + 1
 
     def _maintenance(self, state, edges: EdgeState,
                      inactive: InactiveState, prefix):
@@ -541,11 +590,12 @@ class RaftVisualFrontend:
         cfg = self.cfg
         Ea, Ei = cfg.e_active, cfg.e_inactive
         o = 0
-        sync_on = prefix[o]; o += 1
+        sync_on = prefix[o]; o += 1      # 0 none | 1 full | 2 incremental
         gather_idx = prefix[o:o + Ea]; o += Ea
         new_mask = prefix[o:o + Ea].astype(jnp.float32); o += Ea
         ii_pad = prefix[o:o + Ea]; o += Ea
         jj_pad = prefix[o:o + Ea]; o += Ea
+        rebuild_idx = prefix[o:o + cfg.e_rebuild]; o += cfg.e_rebuild
         app_on = prefix[o]; o += 1
         app_idx = prefix[o:o + Ei]; o += Ei
         app_n_old = prefix[o]; o += 1
@@ -560,8 +610,19 @@ class RaftVisualFrontend:
                                 inactive)
 
         def do_sync(ed):
-            return self._refresh_edges_body(state, ed, gather_idx,
-                                            new_mask, ii_pad, jj_pad)
+            def full(e):
+                return self._refresh_edges_body(state, e, gather_idx,
+                                                new_mask, ii_pad, jj_pad)
+
+            if cfg.e_rebuild <= 0:
+                return full(ed)
+
+            def incr(e):
+                return self._refresh_edges_incr_body(
+                    state, e, gather_idx, new_mask, ii_pad, jj_pad,
+                    rebuild_idx)
+
+            return jax.lax.cond(sync_on == 2, incr, full, ed)
 
         edges = jax.lax.cond(sync_on > 0, do_sync, lambda ed: ed, edges)
         return edges, inactive
@@ -1292,8 +1353,9 @@ class RaftVisualFrontend:
         # fused-maintenance prefix: pending inactive append + edge sync
         # + viz gather, all folded into the ONE update dispatch
         Ea, Ei, V = cfg.e_active, cfg.e_inactive, self.V_VIZ
+        Kr = cfg.e_rebuild
         prefix = np.zeros(self._prefix_len(), np.int32)
-        o = 1 + 4 * Ea
+        o = 1 + 4 * Ea + Kr
         if self._pending_gather is not None:
             pg = self._pending_gather
             n = g.n_edges
@@ -1303,6 +1365,16 @@ class RaftVisualFrontend:
             prefix[1 + Ea:1 + Ea + n] = (pg < 0)
             prefix[1 + 2 * Ea:1 + 2 * Ea + n] = g.ii
             prefix[1 + 3 * Ea:1 + 3 * Ea + n] = g.jj
+            new_pos = np.nonzero(pg < 0)[0]
+            if new_pos.size <= Kr and Kr > 0 and self.mesh is None:
+                # incremental sync: gather surviving volumes, rebuild
+                # only the new slots (mode 2; pure-removal syncs take
+                # this path too -- an all-gather beats an all-rebuild);
+                # pad with Ea (dropped by the scatter)
+                prefix[0] = 2
+                rb = np.full(Kr, Ea, np.int32)
+                rb[:new_pos.size] = new_pos
+                prefix[1 + 4 * Ea:1 + 4 * Ea + Kr] = rb
             self._pending_gather = None
         if self._pending_app:
             idx = np.concatenate(self._pending_app)[:Ei]
@@ -1595,6 +1667,20 @@ class RaftVisualFrontend:
         optional poses (4,4), depths (H,W), t_cams, is_last_frame.
         Returns a viz packet dict or None."""
         cfg = self.cfg
+
+        if cfg.rgbd and batch.get("depths") is not None \
+                and batch.get("idepths_sensed") is None:
+            # RGB-D mode: seed metric sensed inverse depths at feature
+            # resolution (the reference's cam0_idepths_sensed path --
+            # visual_frontend.py:598-602 seeds new keyframes from them
+            # and the DBA's sensed mask anchors the gauge,
+            # droid_kernels.cu:1525-1529).  Monocular runs leave this
+            # off and keep the free Sim3 gauge.
+            d = np.asarray(batch["depths"], np.float32)[
+                cfg.dsf // 2::cfg.dsf, cfg.dsf // 2::cfg.dsf]
+            batch = dict(batch)
+            batch["idepths_sensed"] = np.where(
+                d > 1e-3, 1.0 / np.maximum(d, 1e-3), 0.0)
 
         if self.last_k is None:
             assert k == 0 and self.kf_idx == 0

@@ -20,13 +20,28 @@ def main():
     ap.add_argument("--img_stride", type=int, default=1)
     ap.add_argument("--n_frames", type=int, default=40,
                     help="synthetic only")
+    ap.add_argument("--height", type=int, default=120)
+    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n_objects", type=int, default=0,
+                    help="synthetic only: interior objects")
     args = ap.parse_args()
 
     from nerf_slam_tpu.datasets import build_dataset
     from nerf_slam_tpu.datasets.nerf_dataset import export_nerf_format
 
-    ds = build_dataset(args.dataset_name, args.dataset_dir,
-                       img_stride=args.img_stride, n_frames=args.n_frames)
+    if args.dataset_name == "synthetic" and args.n_objects:
+        from nerf_slam_tpu.datasets import (SyntheticConfig,
+                                            SyntheticDataset)
+        ds = SyntheticDataset(SyntheticConfig(
+            n_frames=args.n_frames, height=args.height,
+            width=args.width, seed=args.seed,
+            n_objects=args.n_objects))
+    else:
+        ds = build_dataset(args.dataset_name, args.dataset_dir,
+                           img_stride=args.img_stride,
+                           n_frames=args.n_frames, height=args.height,
+                           width=args.width)
     out = export_nerf_format(ds, args.out_dir)
     print(f"exported {len(ds)} frames to {out}")
 

@@ -33,10 +33,15 @@ HORIZON = 200 if QUICK else 2000        # total NGP iterations
 # the grouped4 lookup kernel: at 168x320 (w1=40) the fallback lookup
 # path wedges the tunneled TPU runtime mid-pipeline (reproduced;
 # platform bug, not a numerics issue -- the same code runs on CPU)
-RESOLUTIONS = ((96, 128),) if QUICK else ((336, 640), (256, 512))
+# (H, W, rgbd): monocular rows at two resolutions (free Sim3 gauge)
+# plus the RGB-D sensed-depth mode (metric anchoring, the reference's
+# TUM/RealSense path -- visual_frontend.py:598-602)
+CONFIGS = (((96, 128, False),) if QUICK
+           else ((336, 640, False), (256, 512, False),
+                 (336, 640, True)))
 
 
-def run_config(H, W, weights_path):
+def run_config(H, W, weights_path, rgbd=False):
     import jax
     import jax.numpy as jnp
 
@@ -54,12 +59,15 @@ def run_config(H, W, weights_path):
     h, w = H // 8, W // 8
     net = DroidNet(dtype=jnp.bfloat16)
     params = net.init_params(jax.random.PRNGKey(0), H, W)
-    flat, _ = load_arrays(weights_path)
+    flat, meta = load_arrays(weights_path)
     params = unflatten_into(params, flat)
 
+    damping_kw = {k: float(meta[k]) for k in
+                  ("damping_scale", "damping_offset") if k in meta}
     cfg = FrontendConfig(buffer=BUFFER, e_active=48, e_inactive=48,
                          p_window=BUFFER, k_depth=BUFFER + 4,
-                         motion_filter_thresh=2.4, keyframe_thresh=4.0)
+                         motion_filter_thresh=2.4, keyframe_thresh=4.0,
+                         rgbd=rgbd, **damping_kw)
     frontend = RaftVisualFrontend(params, cfg, (H, W))
     fusion = NerfFusion(NerfFusionConfig(
         buffer=BUFFER, height=H, width=W, batch_rays=4096,
@@ -82,7 +90,7 @@ def run_config(H, W, weights_path):
     print(f"[quality] {H}x{W}: pipeline done in {wall:.0f}s, "
           f"fitting to {HORIZON}", file=sys.stderr, flush=True)
 
-    row = {"resolution": f"{H}x{W}",
+    row = {"resolution": f"{H}x{W}" + (" rgbd" if rgbd else ""),
            "n_keyframes": int(frontend.kf_idx + 1),
            "frames_in": N_FRAMES,
            "pipeline_wall_s": round(wall, 1)}
@@ -107,11 +115,12 @@ def run_config(H, W, weights_path):
     return row
 
 
-def child(H, W):
+def child(H, W, rgbd):
     from nerf_slam_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    run_config(H, W, os.path.join(root, "weights_synthetic.npz"))
+    run_config(H, W, os.path.join(root, "weights_synthetic.npz"),
+               rgbd=rgbd)
 
 
 def main():
@@ -127,9 +136,10 @@ def main():
     assert os.path.exists(weights), "weights_synthetic.npz missing"
 
     rows = []
-    for H, W in RESOLUTIONS:
+    for H, W, rgbd in CONFIGS:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), str(H), str(W)],
+            [sys.executable, os.path.abspath(__file__), str(H), str(W),
+             str(int(rgbd))],
             capture_output=True, text=True, timeout=2400, cwd=root)
         got = [json.loads(x[4:]) for x in proc.stdout.splitlines()
                if x.startswith("ROW:")]
@@ -179,6 +189,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 2:
-        child(int(sys.argv[1]), int(sys.argv[2]))
+        child(int(sys.argv[1]), int(sys.argv[2]),
+              bool(int(sys.argv[3])) if len(sys.argv) > 3 else False)
     else:
         main()

@@ -56,6 +56,14 @@ PHASES = {
              gru_steps=6, lr=5e-5, deg_lo=6.0, deg_hi=18.0,
              max_objects=8, remat=True),
     ],
+    # deployment-statistics fine-tune: the bench cell's exact resolution
+    # and motion (336x640, ~12 deg/frame); warm-start from a full-run
+    # phase via --init
+    "finetune": [
+        dict(name="p4", H=336, W=640, frames=5, scenes=16, steps=600,
+             gru_steps=4, lr=3e-5, deg_lo=8.0, deg_hi=16.0,
+             max_objects=6, remat=True),
+    ],
     "quick": [
         dict(name="q1", H=96, W=128, frames=5, scenes=4, steps=30,
              gru_steps=4, lr=2e-4, deg_lo=2.0, deg_hi=12.0,
@@ -224,15 +232,20 @@ def run_phase(spec, init_path, out_path, save_every=100):
             save_arrays(ckpt, jax.device_get(params),
                         meta={"step": it + 1, "height": H, "width": W})
 
+    # deployment recipe rides the weights: the training BA runs
+    # damping = 1.0*eta + 1e-4 (models/training.py droid_forward), so
+    # the production frontend must too -- consumers (CLI/bench/evals)
+    # read these from the .json sidecar
     save_arrays(out_path, jax.device_get(params),
                 meta={"phase": spec["name"], "steps": steps,
-                      "height": H, "width": W})
+                      "height": H, "width": W,
+                      "damping_scale": 1.0, "damping_offset": 1e-4})
     if os.path.exists(ckpt):
         os.remove(ckpt)
     print(f"[{spec['name']}] saved {out_path}", flush=True)
 
 
-PHASE_INDEX = {"p1": 0, "p2": 1, "p3": 2, "q1": 0}
+PHASE_INDEX = {"p1": 0, "p2": 1, "p3": 2, "p4": 3, "q1": 0}
 
 
 def eval_bench_cell(weights_path):
