@@ -229,3 +229,60 @@ def make_train_step(net: DroidNet, optimizer, ii, jj, num_steps: int = 8,
         return params, opt_state, metrics
 
     return step
+
+
+def make_grad_fn(net: DroidNet, ii, jj, num_steps: int = 8,
+                 remat: bool = False, bf16_pyramid: bool = False):
+    """Jitted (grads, metrics) for ONE scene -- the accumulation unit.
+
+    BA-in-the-loop gradients are noisy across procedural scenes (one
+    hard scene can throw a 10x loss spike); the curriculum trainer
+    averages several scenes' grads per optimizer step."""
+
+    @jax.jit
+    def gstep(params, batch: TrainBatch, g_sum):
+        """g_sum: running grad accumulator (zeros-like params to start);
+        returns (g_sum + grads, metrics) in ONE dispatch."""
+        (_, metrics), grads = jax.value_and_grad(
+            lambda p: droid_loss(net, p, batch, ii, jj, num_steps,
+                                 remat=remat,
+                                 bf16_pyramid=bf16_pyramid),
+            has_aux=True)(params)
+        g_sum = jax.tree.map(lambda s, g: s + g, g_sum, grads)
+        return g_sum, metrics
+
+    return gstep
+
+
+def make_apply_fn(optimizer, ema_decay: float = 0.0):
+    """Jitted optimizer apply over pre-averaged grads; optionally
+    maintains an exponential moving average of the weights (the EMA is
+    what ships -- it smooths the noise floor of small-batch training)."""
+    import optax
+
+    @jax.jit
+    def apply(params, opt_state, g_sum, inv_n, ema):
+        """inv_n: 1/num_accumulated (traced scalar)."""
+        grads = jax.tree.map(lambda g: g * inv_n, g_sum)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema_decay > 0.0:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e
+                + (1.0 - ema_decay) * p.astype(e.dtype), ema, params)
+        return params, opt_state, ema
+
+    return apply
+
+
+def make_eval_fn(net: DroidNet, ii, jj, num_steps: int = 8,
+                 remat: bool = False, bf16_pyramid: bool = False):
+    """Jitted loss/metrics only (no grads) for held-out scenes."""
+
+    @jax.jit
+    def ev(params, batch: TrainBatch):
+        _, metrics = droid_loss(net, params, batch, ii, jj, num_steps,
+                                remat=remat, bf16_pyramid=bf16_pyramid)
+        return metrics
+
+    return ev
