@@ -27,7 +27,9 @@ def build(encoding: str, H: int, W: int, n: int):
     ngp = NGPConfig(encoding=encoding,
                     grid=HashGridConfig(n_levels=12, log2_table_size=17,
                                         base_resolution=16,
-                                        finest_resolution=1024))
+                                        finest_resolution=1024),
+                    hash_chunk=int(os.environ.get("HASH_CHUNK",
+                                                  "131072")))
     cfg = NerfFusionConfig(buffer=n, height=H, width=W,
                            batch_rays=4096, ngp=ngp, iters_per_spin=10,
                            scale=0.2, offset=(0.5, 0.5, 0.25),

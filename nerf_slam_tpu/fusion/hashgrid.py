@@ -164,6 +164,32 @@ def encode(table: jax.Array, pos: jax.Array,
     return out.reshape(lead + (cfg.out_dim,))
 
 
+def encode_chunked(table: jax.Array, pos: jax.Array,
+                   cfg: HashGridConfig, chunk: int) -> jax.Array:
+    """encode() with the point axis processed in fixed-size chunks via
+    lax.map, bounding every gather (fwd) and scatter-add (bwd) to
+    ``chunk * n_levels`` rows.
+
+    Rationale: the tunneled dev-TPU runtime faults on very large hash
+    gathers/scatters (docs/backbone_decision.md) -- a monolithic
+    full-image render touches ~10^7 corner rows in one op.  Chunking
+    keeps each op's working set bounded; autodiff of the map accumulates
+    the per-chunk table cotangents.  chunk <= 0 falls back to the
+    single-op path."""
+    lead = pos.shape[:-1]
+    flat = pos.reshape(-1, 3)
+    N = flat.shape[0]
+    if chunk <= 0 or N <= chunk:
+        return encode(table, pos, cfg)
+    nc = -(-N // chunk)
+    padded = jnp.concatenate(
+        [flat, jnp.zeros((nc * chunk - N, 3), flat.dtype)], axis=0)
+    out = jax.lax.map(lambda p: _encode_flat(table, p, cfg),
+                      padded.reshape(nc, chunk, 3))
+    return out.reshape(nc * chunk, cfg.out_dim)[:N] \
+        .reshape(lead + (cfg.out_dim,))
+
+
 def sh_encode_deg4(dirs: jax.Array) -> jax.Array:
     """Real spherical harmonics up to degree 4 (16 components), matching
     instant-ngp's SH view-direction encoding.  dirs: (..., 3) unit."""

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 import optax
 
-from .hashgrid import HashGridConfig, encode, init_table, sh_encode_deg4
+from .hashgrid import (HashGridConfig, encode, encode_chunked,
+                       init_table, sh_encode_deg4)
 
 
 class NGPConfig(NamedTuple):
@@ -48,6 +49,11 @@ class NGPConfig(NamedTuple):
     lr: float = 1e-2
     pe_lr: float = 5e-4
     density_activation: str = "exp"  # exp (instant-ngp) | softplus
+    # hash-encode chunking (points per gather/scatter op; 0 = one op).
+    # The tunneled dev chip faults on very large hash table ops
+    # (docs/backbone_decision.md); 2^17 bounds each op while keeping
+    # the VPU busy
+    hash_chunk: int = 131072
 
 
 def positional_encoding(x: jax.Array, degrees: int) -> jax.Array:
@@ -162,7 +168,8 @@ def query(params: NGPParams, field, cfg: NGPConfig,
         sigma, rgb = field.apply(params.mlp, pos.reshape(-1, 3),
                                  dirs.reshape(-1, 3))
     else:
-        feat = encode(params.table, pos.reshape(-1, 3), cfg.grid)
+        feat = encode_chunked(params.table, pos.reshape(-1, 3),
+                              cfg.grid, cfg.hash_chunk)
         sigma, rgb = field.apply(params.mlp, feat, dirs.reshape(-1, 3))
     return sigma.reshape(lead), rgb.reshape(lead + (3,))
 

@@ -141,6 +141,10 @@ def droid_forward(net: DroidNet, params, batch: TrainBatch,
 
     net_h = ctx[ii].astype(jnp.bfloat16)
     inp_i = inp[ii].astype(jnp.bfloat16)
+    # context gate constants: inp_i is constant across the unrolled
+    # iterations, so its share of the GRU gate convs runs once here
+    gates_inp = net.apply(params, inp_i,
+                          method=DroidNet.update_precompute)
 
     # segment = unique source-frame slot (static from host ii)
     ii_np = np.asarray(ii)
@@ -165,7 +169,7 @@ def droid_forward(net: DroidNet, params, batch: TrainBatch,
 
         net_h, delta, weight, eta, upmask = net.apply(
             params, net_h, inp_i, cvals, motion.astype(jnp.bfloat16),
-            seg, K, True, method=DroidNet.update)
+            seg, K, True, None, gates_inp, method=DroidNet.update)
 
         target = coords1 + delta
         eta_full = jnp.full((N, h, w), 1e-4).at[kx_j].set(eta)

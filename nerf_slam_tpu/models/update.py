@@ -43,14 +43,75 @@ class ConvGRU(nn.Module):
         self.convr_glo = _conv(self.h_planes, 1, d)
         self.convq_glo = _conv(self.h_planes, 1, d)
 
-    def __call__(self, net, *inputs):
-        """net: (E, H, W, 128); inputs concatenated to (E, H, W, i_planes)."""
-        inp = jnp.concatenate(inputs, axis=-1)
-        net_inp = jnp.concatenate([net, inp], axis=-1)
+    def _sliced(self, conv, x, c0, c1, with_bias):
+        """Apply ``conv`` restricted to input channels [c0, c1) (two
+        ranges when c1 is a tuple: [0, h) ++ [c0, c1)) by slicing its
+        kernel.  The full conv equals the sum of its channel-slice
+        parts, so a CONSTANT input block's contribution can be hoisted
+        out of the GRU iteration loop (the frontend runs 4-8 iterations
+        per update round with the same context input)."""
+        k = conv.variables["params"]["kernel"]
+        if isinstance(c1, tuple):        # [0:h] ++ [c1[0]:c1[1]]
+            k = jnp.concatenate([k[:, :, :c0], k[:, :, c1[0]:c1[1]]],
+                                axis=2)
+        else:
+            k = k[:, :, c0:c1]
+        # honor the module compute dtype (params are stored f32; nn.Conv
+        # with dtype=bf16 promotes to bf16 for compute -- so must we, or
+        # the GRU's bf16 hidden state silently becomes f32)
+        cd = self.dtype or k.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(cd), k.astype(cd), window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if with_bias:
+            y = y + conv.variables["params"]["bias"].astype(cd)
+        return y
 
+    def precompute_inp(self, inp):
+        """Per-round constants: each gate conv's contribution from the
+        context block ``inp`` (channels h..h+ci of the concatenated GRU
+        input).  Returns (z_inp, r_inp, q_inp)."""
+        h = self.h_planes
+        ci = inp.shape[-1]
+        return (self._sliced(self.convz, inp, h, h + ci, False),
+                self._sliced(self.convr, inp, h, h + ci, False),
+                self._sliced(self.convq, inp, h, h + ci, False))
+
+    def __call__(self, net, *inputs, gates_inp=None):
+        """net: (E, H, W, 128); inputs concatenated to (E, H, W, i_planes).
+
+        ``gates_inp``: optional (z_inp, r_inp, q_inp) from
+        :meth:`precompute_inp` -- then ``inputs`` must EXCLUDE the
+        context block, and each gate runs ONE conv over the varying
+        channels [net ++ rest] with the context part added back as a
+        precomputed constant (mathematically identical, ~30% fewer conv
+        FLOPs per iteration)."""
         glo = jax.nn.sigmoid(self.w(net)) * net
         glo = jnp.mean(glo, axis=(-3, -2), keepdims=True)   # (E,1,1,128)
 
+        if gates_inp is not None:
+            z_i, r_i, q_i = gates_inp
+            h = self.h_planes
+            rest = jnp.concatenate(inputs, axis=-1)
+            ci = self.i_planes - rest.shape[-1]
+            ztot = self.i_planes + h
+            net_rest = jnp.concatenate([net, rest], axis=-1)
+            rng = (h + ci, ztot)
+            z = jax.nn.sigmoid(
+                self._sliced(self.convz, net_rest, h, rng, True) + z_i
+                + self.convz_glo(glo))
+            r = jax.nn.sigmoid(
+                self._sliced(self.convr, net_rest, h, rng, True) + r_i
+                + self.convr_glo(glo))
+            rnet_rest = jnp.concatenate([r * net, rest], axis=-1)
+            q = jnp.tanh(
+                self._sliced(self.convq, rnet_rest, h, rng, True) + q_i
+                + self.convq_glo(glo))
+            return (1 - z) * net + z * q
+
+        inp = jnp.concatenate(inputs, axis=-1)
+        net_inp = jnp.concatenate([net, inp], axis=-1)
         z = jax.nn.sigmoid(self.convz(net_inp) + self.convz_glo(glo))
         r = jax.nn.sigmoid(self.convr(net_inp) + self.convr_glo(glo))
         q = jnp.tanh(self.convq(jnp.concatenate([r * net, inp], axis=-1))
@@ -117,12 +178,21 @@ class UpdateModule(nn.Module):
         self.gru = ConvGRU(128, 320, dtype=d)
         self.agg = GraphAgg(dtype=d)
 
+    def precompute_inp(self, inp):
+        """Hoistable per-round GRU gate constants for context ``inp``
+        (see ConvGRU.precompute_inp); call once per update round, pass
+        the result as ``gates_inp`` to every iteration."""
+        return self.gru.precompute_inp(inp)
+
     def __call__(self, net, inp, corr, flow=None, seg=None,
                  n_seg: int | None = None, with_upmask: bool = True,
-                 axis_name=None):
+                 axis_name=None, gates_inp=None):
         """net/inp: (E, H, W, 128) hidden/context; corr: (E, H, W, 196);
         flow: (E, H, W, 4) motion features.  Returns (net, delta, weight
-        [, eta[, upmask]]) with delta/weight (E, H, W, 2) fp32."""
+        [, eta[, upmask]]) with delta/weight (E, H, W, 2) fp32.
+
+        ``gates_inp``: precomputed context gate constants -- ``inp`` is
+        then ignored (may be None)."""
         E, H, W, _ = net.shape
         if flow is None:
             flow = jnp.zeros((E, H, W, 4), dtype=net.dtype)
@@ -132,7 +202,10 @@ class UpdateModule(nn.Module):
         f = nn.relu(self.flow_encoder_0(flow))
         f = nn.relu(self.flow_encoder_2(f))
 
-        net = self.gru(net, inp, c, f)
+        if gates_inp is not None:
+            net = self.gru(net, c, f, gates_inp=gates_inp)
+        else:
+            net = self.gru(net, inp, c, f)
 
         d = nn.relu(self.delta_0(net))
         d = self.delta_2(d)
@@ -176,9 +249,14 @@ class DroidNet(nn.Module):
         return jnp.tanh(net), nn.relu(inp)
 
     def update(self, net, inp, corr, flow=None, seg=None, n_seg=None,
-               with_upmask=True, axis_name=None):
+               with_upmask=True, axis_name=None, gates_inp=None):
         return self.update_net(net, inp, corr, flow, seg, n_seg,
-                               with_upmask, axis_name)
+                               with_upmask, axis_name, gates_inp)
+
+    def update_precompute(self, inp):
+        """Per-round GRU context gate constants (UpdateModule
+        .precompute_inp)."""
+        return self.update_net.precompute_inp(inp)
 
     def aggregate(self, net, seg, n_seg, axis_name=None):
         return self.update_net.aggregate(net, seg, n_seg, axis_name)

@@ -230,6 +230,7 @@ class RaftVisualFrontend:
         self._pending_app: list = []
         self._pending_app_n_old = 0
         self._viz_pending = None   # (fields, idx) from a fused gather
+        self.last_gba_scores = None  # (pre, post) global-BA consistency
         self._viz_idx_snapshot = None   # two-phase reject rollback
         self._synced_after_dispatch = True
         self.graph = graphlib.CovisibilityGraph(
@@ -774,6 +775,14 @@ class RaftVisualFrontend:
                 lookup_nhwc = lambda c: cp(c).transpose(0, 2, 3, 1)
             on = edge_on[:, None, None, None]
             ctx_inp = state.cst_contexts[ii_act]
+            # context gate constants hoisted out of the iteration loop:
+            # ctx_inp is constant across the round's 4-8 GRU iterations,
+            # so its share of the gate convs (128 of 448 input channels)
+            # runs ONCE here instead of per iteration
+            gates_inp = None
+            if not cfg.debug_skip_gru:
+                gates_inp = self.net.apply(
+                    params, ctx_inp, method=DroidNet.update_precompute)
             sens_k = state.idepths_sensed[plan.kx]
 
             stereo_rel = self._stereo_rel()
@@ -809,7 +818,8 @@ class RaftVisualFrontend:
                         params, hidden, ctx_inp,
                         cvals.astype(jnp.bfloat16),
                         motion.astype(jnp.bfloat16),
-                        seg, K, False, axis, method=DroidNet.update)
+                        seg, K, False, axis, gates_inp,
+                        method=DroidNet.update)
 
                 flow = jnp.where(on > 0, coords1 + delta, flow)
                 flow_w = jnp.where(on > 0, weight, flow_w)
@@ -1971,12 +1981,34 @@ class RaftVisualFrontend:
         hidden = jnp.where(on > 0, hidden2, hidden)
         return hidden, flow, flow_w, eta
 
+    def _map_consistency(self) -> float:
+        """GT-free map health score: mean multi-view depth-consistency
+        count over all keyframes (depth_filter, the reference's
+        depth_filter_kernel neighbor schedule).  The threshold scales
+        with the map's current depth gauge so the score is comparable
+        across the global-BA rescale."""
+        kf = self.kf_idx
+        st = self.state
+        ix = jnp.arange(kf + 1)
+        med_z = 1.0 / jnp.maximum(
+            jnp.median(st.idepths[: kf + 1]), 1e-6)
+        counts = camera.depth_filter(st.cam_T_world, st.idepths,
+                                     st.intrinsics, ix, 0.1 * med_z)
+        return float(jnp.mean(counts))
+
     def global_ba(self, steps: int = 12, chunk: int = 32,
                   thresh: float = None):
         """Full-map bundle adjustment (backend(), visual_frontend.py:
         1255-1295): rebuild the graph with backend thresholds, then
         alternate chunked GRU flow refinement (on-the-fly correlation)
-        with DBA over all keyframes."""
+        with DBA over all keyframes.
+
+        Guarded: with self-trained weights the backend's long-range
+        edges can sit outside the GRU's training distribution and the
+        refinement diverges (measured: bench-cell ATE 0.37 -> 0.76,
+        scale x6.2).  The map's multi-view depth consistency is scored
+        before and after; a run that lowers it is rolled back, so the
+        backend can only improve the map."""
         cfg = self.cfg
         kf = self.kf_idx
         if kf < 2 or steps <= 0:
@@ -1988,6 +2020,12 @@ class RaftVisualFrontend:
             poses, disps = self._normalize_map(
                 st.cam_T_world, st.idepths, jnp.int32(kf + 1))
             self.state = st._replace(cam_T_world=poses, idepths=disps)
+
+        # rollback snapshot (post-normalize: the rescale is a pure gauge
+        # change and always safe to keep)
+        snap_poses = self.state.cam_T_world
+        snap_disps = self.state.idepths
+        score0 = self._map_consistency()
 
         # backend graph (max_factors=16*kf, backend thresholds)
         saved_graph = self.graph
@@ -2061,6 +2099,12 @@ class RaftVisualFrontend:
                 ep=1e-2, lm=1e-5, compute_covariances=False)
             self.state = st._replace(cam_T_world=res.poses,
                                      idepths=res.disps)
+        score1 = self._map_consistency()
+        self.last_gba_scores = (score0, score1)
+        if score1 < score0:
+            # refinement hurt the map -- restore the pre-backend state
+            self.state = self.state._replace(cam_T_world=snap_poses,
+                                             idepths=snap_disps)
         self.viz_idx[: kf + 1] = True
 
     def terminate(self):

@@ -94,6 +94,60 @@ def test_global_ba_runs(small_frontend):
 
 
 @pytest.mark.slow
+def test_global_ba_rollback_guard(small_frontend, monkeypatch):
+    """A backend run that WRECKS the map (divergent GRU refinement with
+    self-trained weights, QUALITY.md) must be rolled back by the
+    depth-consistency guard; global_ba may only improve the map."""
+    from nerf_slam_tpu.tracking import frontend as fe_mod
+    from nerf_slam_tpu.geometry import se3
+    fe = small_frontend
+    if fe.kf_idx < 2:   # fixture not yet tracked (isolated -k run)
+        ds = SyntheticDataset(SyntheticConfig(n_frames=10, height=48,
+                                              width=64))
+        for k, pkt in enumerate(ds):
+            fe(k, pkt)
+    # seed the map with GT geometry so the pre-backend consistency
+    # score is genuinely high (random-weight tracking output may not be)
+    n = fe.kf_idx + 1
+    st = fe.state
+    gt_w2c = se3.from_matrix(jnp.linalg.inv(st.gt_poses))
+    gt_disp = 1.0 / jnp.maximum(st.gt_depths[:, ::8, ::8], 0.1)
+    mask = (jnp.arange(st.idepths.shape[0]) < n)
+    fe.state = st._replace(
+        cam_T_world=jnp.where(mask[:, None], gt_w2c, st.cam_T_world),
+        idepths=jnp.where(mask[:, None, None], gt_disp, st.idepths))
+    poses0 = np.asarray(fe.state.cam_T_world).copy()
+    disps0 = np.asarray(fe.state.idepths).copy()
+
+    real_dba = fe_mod.dba.dba_iterations
+
+    def wrecking_dba(poses, disps, *a, **kw):
+        res = real_dba(poses, disps, *a, **kw)
+        # scramble: scale translations x6 and collapse depths -- the
+        # measured failure signature of the divergent backend
+        return res._replace(poses=res.poses.at[:, :3].multiply(6.0),
+                            disps=res.disps * 0.1)
+
+    monkeypatch.setattr(fe_mod.dba, "dba_iterations", wrecking_dba)
+    fe.global_ba(steps=1, chunk=8, thresh=1e6)
+    assert fe.last_gba_scores is not None
+    pre, post = fe.last_gba_scores
+    assert post < pre                      # the wreck was detected
+    # state restored to the (normalized) pre-backend snapshot: relative
+    # geometry of the ACTIVE prefix unchanged up to the global gauge
+    # rescale (normalize_map only touches slots < n_kf)
+    disps1 = np.asarray(fe.state.idepths)[:n]
+    d0 = disps0[:n]
+    s = d0.mean() / disps1.mean()
+    np.testing.assert_allclose(disps1 * s, d0, rtol=1e-4, atol=1e-5)
+    poses1 = np.asarray(fe.state.cam_T_world)[:n]
+    np.testing.assert_allclose(poses1[:, :3] / s, poses0[:n, :3],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(poses1[:, 3:], poses0[:n, 3:],
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_production_policy_fused_motion_filter():
     """The fully-fused production path: ingest + motion decision +
     two-phase update in ONE dispatch.  Thresholds at the extremes make

@@ -84,6 +84,38 @@ def test_conv_gru_parity():
     np.testing.assert_allclose(np.asarray(out), tout, atol=2e-4)
 
 
+def test_update_hoisted_context_gates_match_legacy():
+    """The split-kernel GRU path (context gate constants hoisted out of
+    the iteration loop, frontend.py hot loop) must match the monolithic
+    conv path: exactly in f32, to bf16 rounding in bf16."""
+    for dtype, tol in ((None, 1e-5), (jnp.bfloat16, 2e-2)):
+        um = UpdateModule(dtype=dtype)
+        rng = np.random.RandomState(11)
+        E, H, W = 3, 8, 16
+        net = jnp.asarray(rng.randn(E, H, W, 128).astype(np.float32))
+        inp = jnp.asarray(rng.randn(E, H, W, 128).astype(np.float32))
+        corr = jnp.asarray(
+            0.1 * rng.randn(E, H, W, 196).astype(np.float32))
+        flow = jnp.asarray(rng.randn(E, H, W, 4).astype(np.float32))
+        seg = jnp.array([0, 0, 1])
+        if dtype is not None:
+            net, inp = net.astype(dtype), inp.astype(dtype)
+            corr, flow = corr.astype(dtype), flow.astype(dtype)
+        params = um.init(jax.random.PRNGKey(3), net, inp, corr, flow,
+                         seg, 2)
+        ref = um.apply(params, net, inp, corr, flow, seg, 2)
+        gates = um.apply(params, inp, method=UpdateModule.precompute_inp)
+        fast = um.apply(params, net, inp, corr, flow, seg, 2,
+                        gates_inp=gates)
+        # compute dtype must be preserved (bf16 hidden stays bf16 --
+        # the frontend's while_loop carry depends on it)
+        assert fast[0].dtype == ref[0].dtype
+        for a, b in zip(ref, fast):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=tol, rtol=tol)
+
+
 def test_update_module_shapes_and_init():
     um = UpdateModule()
     rng = jax.random.PRNGKey(0)

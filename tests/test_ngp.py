@@ -37,6 +37,35 @@ def test_hash_encode_differentiable():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_hash_encode_chunked_matches_monolithic():
+    """encode_chunked (bounded per-op gathers/scatters for the faulting
+    dev-TPU runtime) must be bit-equivalent to encode() in values AND
+    table/position gradients, including the ragged final chunk."""
+    from nerf_slam_tpu.fusion.hashgrid import encode_chunked
+    cfg = HashGridConfig(n_levels=4, log2_table_size=12,
+                         base_resolution=4, finest_resolution=32)
+    table = init_table(jax.random.PRNGKey(0), cfg)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (103, 3))  # ragged
+
+    out_ref = encode(table, pos, cfg)
+    out_chk = encode_chunked(table, pos, cfg, chunk=32)
+    np.testing.assert_allclose(np.asarray(out_chk), np.asarray(out_ref),
+                               rtol=1e-6, atol=1e-7)
+
+    def loss_ref(tab, p):
+        return jnp.sum(jnp.sin(encode(tab, p, cfg)) ** 2)
+
+    def loss_chk(tab, p):
+        return jnp.sum(jnp.sin(encode_chunked(tab, p, cfg, 32)) ** 2)
+
+    gt_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(table, pos)
+    gt_c, gp_c = jax.grad(loss_chk, argnums=(0, 1))(table, pos)
+    np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_r),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_r),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sh_encoding_constant_and_norm():
     dirs = jax.random.normal(jax.random.PRNGKey(0), (50, 3))
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
