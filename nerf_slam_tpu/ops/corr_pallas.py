@@ -395,16 +395,24 @@ def _make_grouped4_kernel(dims, gated: bool = False):
             colY = io3((G, 8, GH), 2)
             Yv = colY % H2p
             mY = (((colY // H2p) == io3((G, 8, GH), 0))
-                  & (Yv < Hl)).astype(jnp.float32)
-            # Yv + b folded into one float constant per (b, Y) cell
-            ybase = Yv.astype(jnp.float32) \
-                - io3((G, 8, GH), 1).astype(jnp.float32)
+                  & (Yv < Hl))
+            # Yv + b folded into one float constant per (b, Y) cell;
+            # the validity mask folds in as a far-away base (the hat
+            # then clamps to 0) -- saves one big-domain multiply per
+            # level in the hot loop, where VPU elementwise work is the
+            # kernel's bottleneck
+            ybase = jnp.where(
+                mY,
+                Yv.astype(jnp.float32)
+                - io3((G, 8, GH), 1).astype(jnp.float32), 1e9)
             Wl = dims[lvl][1]
             colX = io3((G, 8, W2), 2)
-            mX = (colX < Wl).astype(jnp.float32)
-            xbase = colX.astype(jnp.float32) \
-                - io3((G, 8, W2), 1).astype(jnp.float32)
-            consts.append((mY, ybase, mX, xbase))
+            mX = colX < Wl
+            xbase = jnp.where(
+                mX,
+                colX.astype(jnp.float32)
+                - io3((G, 8, W2), 1).astype(jnp.float32), 1e9)
+            consts.append((ybase, xbase))
         bd = ((io3((G * 8, G * 8), 0) // 8)
               == (io3((G * 8, G * 8), 1) // 8)).astype(jnp.float32)
         SEL = (io3((G * 8, 8), 0) % 8
@@ -421,7 +429,7 @@ def _make_grouped4_kernel(dims, gated: bool = False):
                 Hl, Wl = dims[lvl]
                 _, _, _, H2p, W2 = vref.shape
                 GH = G * H2p
-                mY, ybase, mX, xbase = consts[lvl]
+                ybase, xbase = consts[lvl]
                 inv = 1.0 / (2 ** lvl)
                 xl = x0 * inv
                 yl = y0 * inv
@@ -441,8 +449,8 @@ def _make_grouped4_kernel(dims, gated: bool = False):
                 ystar = jax.lax.broadcast_in_dim(
                     jnp.nan_to_num(yi + dy, nan=-1e4), (G, 8, GH),
                     (0, 1))
-                OHY = (jnp.maximum(
-                    1.0 - jnp.abs(ybase - ystar), 0.0) * mY) \
+                OHY = jnp.maximum(
+                    1.0 - jnp.abs(ybase - ystar), 0.0) \
                     .astype(jnp.bfloat16).reshape(G * 8, GH)
 
                 rows = jax.lax.dot_general(
@@ -454,8 +462,8 @@ def _make_grouped4_kernel(dims, gated: bool = False):
                 xstar = jax.lax.broadcast_in_dim(
                     jnp.nan_to_num(xi + dx, nan=-1e4), (G, 8, W2),
                     (0, 1))
-                OHX = (jnp.maximum(
-                    1.0 - jnp.abs(xbase - xstar), 0.0) * mX) \
+                OHX = jnp.maximum(
+                    1.0 - jnp.abs(xbase - xstar), 0.0) \
                     .astype(jnp.bfloat16).reshape(G * 8, W2)
 
                 # M[(p,b), (p2,a)]; the block diagonal (p2 == p) is the

@@ -182,9 +182,20 @@ def main():
     ]
     out = os.path.join(root,
                        "QUALITY_quick.md" if QUICK else "QUALITY.md")
+    # preserve hand-maintained sections (measurement notes, the TSDF
+    # mesh rows appended by scripts/tsdf_fidelity.py) across regens
+    keep = ""
+    if os.path.exists(out):
+        old = open(out).read()
+        i = old.find(KEEP_MARK)
+        if i >= 0:
+            keep = "\n" + old[i:]
     with open(out, "w") as f:
-        f.write("\n".join(md) + "\n")
+        f.write("\n".join(md) + "\n" + keep)
     print(f"wrote {out}", flush=True)
+
+
+KEEP_MARK = "<!-- KEEP: notes below survive quality_eval regens -->"
 
 
 if __name__ == "__main__":

@@ -84,6 +84,14 @@ PHASES = {
              gru_steps=4, lr=2e-4, deg_lo=2.0, deg_hi=12.0,
              max_objects=4, remat=False),
     ],
+    # p2b continuation: its held-out score was still improving at the
+    # step-600 horizon (1.75 -> 1.43 over the last 100 steps)
+    "stable2": [
+        dict(name="p2c", H=192, W=320, frames=7, scenes=64, steps=700,
+             gru_steps=8, lr=1.5e-5, deg_lo=3.0, deg_hi=16.0,
+             max_objects=8, remat=True, accum=4, ema=0.998,
+             holdout=8, plain_frac=0.3),
+    ],
     # CI smoke for the accumulation/EMA/held-out path
     "quick2": [
         dict(name="q2", H=96, W=128, frames=5, scenes=4, steps=4,
@@ -339,7 +347,7 @@ def run_phase(spec, init_path, out_path, save_every=100):
 
 
 PHASE_INDEX = {"p1": 0, "p2": 1, "p3": 2, "p4": 3, "q1": 0,
-               "p2b": 4, "p4b": 5, "q2": 0}
+               "p2b": 4, "p4b": 5, "p2c": 6, "q2": 0}
 
 
 def eval_bench_cell(weights_path):
