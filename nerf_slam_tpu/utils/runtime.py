@@ -12,6 +12,13 @@ from contextlib import contextmanager
 
 def enable_compilation_cache(path: str = None):
     import jax
+    if os.environ.get("NERF_SLAM_TPU_NO_CACHE"):
+        # jax's cache read path is not safe against concurrent writers
+        # (aborts/segfaults deserializing partial entries -- observed
+        # from threaded pipeline tests and overlapping processes,
+        # docs/platform_notes.md #10); consumers that cannot guarantee
+        # exclusive access opt out entirely
+        return None
     path = path or os.environ.get(
         "NERF_SLAM_TPU_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(

@@ -22,10 +22,7 @@ jax.config.update("jax_platforms", "cpu")
 # aborts the interpreter (observed: Fatal abort in
 # compilation_cache.get_executable_and_time during a live training run).
 # enable_compilation_cache() honors this env override.
-os.environ.setdefault(
-    "NERF_SLAM_TPU_CACHE",
-    os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache_cpu"))
+os.environ.setdefault("NERF_SLAM_TPU_NO_CACHE", "1")
 # NOTE: x64 stays OFF globally (f32 is the production dtype and 2-4x faster
 # on CPU); finite-difference oracle tests opt in locally with
 # `with jax.experimental.enable_x64():`.
